@@ -1,0 +1,219 @@
+"""H3-style aperture-7 hexagonal hierarchy, from scratch in numpy.
+
+Design (documented divergence): the sandbox has no ``h3`` package, and the
+reference (cog3pio) contains no hex indexing at all — the hierarchy below is
+the engine's own spec-faithful aperture-7 system, built so that every property
+the pipeline relies on is *exact by construction* and property-tested:
+
+* aperture-7 subdivision with alternating rotation classes (axial matrices
+  A7 = [[3, 1], [-1, 2]] and A7R = [[2, -1], [1, 3]], |det| = 7, chosen so the
+  7-cell flower cluster is an exact fundamental domain — see below);
+* parent/children closure: ``parent(child(c)) == c`` for all 7 children;
+* k_ring via exact axial-coordinate ring arithmetic;
+* compact/uncompact: 7 present children ⇒ parent, lossless round-trip.
+
+Cells are anchored to the 6 S2 cube faces via gnomonic (u,v) projection
+(cells/s2.py) rather than the 20-face icosahedron; ids are NOT numerically
+h3-compatible (no h3 library exists in-sandbox to compare against — SURVEY
+§7 hard-part 1). Cross-face rings are truncated at face edges; the kNN
+operator compensates with its sort-merge fallback (operators/knn.py).
+
+id layout (int64, zero sign bit):
+    [1 zero][4 bits res][3 bits face][28 bits i+OFF][28 bits j+OFF]
+with OFF = 2^27 so axial coords may be negative. Res 0..15.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cog3pio_spark.cells import s2
+
+MAX_RES = 15
+_OFF = 1 << 27
+_MASK28 = (1 << 28) - 1
+
+# Axial aperture-7 matrices. Chosen so the 7-cell "flower" cluster
+# {(0,0), ±(1,0), ±(0,1), ±(1,-1)} is an exact fundamental domain of
+# Z²/A·Z² (order 7): the residues of the cluster deltas under the linear
+# functional φ are all distinct, making parent assignment exact integer
+# arithmetic (no float rounding in the hierarchy).
+#   A7  = [[3,1],[-1,2]], φ7(q,r)  = (q + 3r) mod 7 → residues {0,1,3,6,4,5,2}
+#   A7R = [[2,-1],[1,3]], φ7r(q,r) = (q + 5r) mod 7 → residues {0,1,5,6,2,3,4}
+_A7 = np.array([[3, 1], [-1, 2]], dtype=np.int64)
+_A7R = np.array([[2, -1], [1, 3]], dtype=np.int64)
+
+# cluster deltas indexed 0..6 (digit order: center, then 6 neighbors CCW)
+_DELTAS = np.array(
+    [(0, 0), (1, 0), (0, 1), (-1, 0), (0, -1), (1, -1), (-1, 1)], dtype=np.int64
+)
+# residue → delta-index lookup for each matrix class
+_RES2DELTA_A7 = np.zeros(7, dtype=np.int64)
+_RES2DELTA_A7R = np.zeros(7, dtype=np.int64)
+for _idx, (_dq, _dr) in enumerate(_DELTAS):
+    _RES2DELTA_A7[(_dq + 3 * _dr) % 7] = _idx
+    _RES2DELTA_A7R[(_dq + 5 * _dr) % 7] = _idx
+
+# res-0 lattice scale: axial unit length in face (u,v) coordinates.
+# Face spans u,v ∈ [-1,1]; res-0 hexes of size ~0.4 cover it with |coords|≤4.
+_RES0_SIZE = 0.4
+
+# Precompute res-r lattice transforms L(r): world(u,v) → fractional axial
+# at res r:  ax_r = M(r) · (u,v)/_RES0_SIZE, where M(0)=I, M(r+1)=A·M(r).
+_M: list[np.ndarray] = [np.eye(2, dtype=np.float64)]
+for _r in range(MAX_RES):
+    _A = _A7 if _r % 2 == 0 else _A7R  # alternate Class II/III
+    _M.append(_A.astype(np.float64) @ _M[-1])
+
+# hex basis on the face plane: axial (q, r) → cartesian
+_BASIS = np.array([[1.0, 0.5], [0.0, np.sqrt(3.0) / 2.0]])
+_BASIS_INV = np.linalg.inv(_BASIS)
+
+
+def _cube_round(qf: np.ndarray, rf: np.ndarray):
+    """Standard cube-coordinate rounding to the nearest hex center."""
+    sf = -qf - rf
+    q = np.rint(qf)
+    r = np.rint(rf)
+    s = np.rint(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def _pack(res: np.ndarray, face: np.ndarray, q: np.ndarray, r: np.ndarray):
+    return (
+        (np.asarray(res, np.int64) << np.int64(59))
+        | (np.asarray(face, np.int64) << np.int64(56))
+        | ((q + _OFF) << np.int64(28))
+        | (r + _OFF)
+    )
+
+
+def _unpack(cell: np.ndarray):
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> np.int64(59)) & np.int64(0xF)
+    face = (cell >> np.int64(56)) & np.int64(0x7)
+    q = ((cell >> np.int64(28)) & np.int64(_MASK28)) - _OFF
+    r = (cell & np.int64(_MASK28)) - _OFF
+    return res, face, q, r
+
+
+# ---------------------------------------------------------------------------
+# geo → cell
+# ---------------------------------------------------------------------------
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Vectorized lat/lng (deg) → hex cell id at resolution ``res``."""
+    x, y, z = s2.latlng_to_xyz(lat_deg, lng_deg)
+    face, u, v = s2.xyz_to_face_uv(x, y, z)
+    pt = np.stack([u, v]) / _RES0_SIZE          # (2, n) world in res-0 units
+    ax = _M[res] @ (_BASIS_INV @ pt)            # fractional axial at res
+    q, r = _cube_round(ax[0], ax[1])
+    return _pack(np.full(q.shape, res, np.int64), face, q, r)
+
+
+def cell_center_uv(cell: np.ndarray):
+    """Cell center in face (u,v) coordinates (+ face array)."""
+    res, face, q, r = _unpack(cell)
+    out_u = np.empty(q.shape, np.float64)
+    out_v = np.empty(q.shape, np.float64)
+    for rr in np.unique(res):
+        m = res == rr
+        minv = np.linalg.inv(_M[int(rr)])
+        pt = _BASIS @ (minv @ np.stack([q[m].astype(np.float64), r[m].astype(np.float64)]))
+        out_u[m] = pt[0] * _RES0_SIZE
+        out_v[m] = pt[1] * _RES0_SIZE
+    return face, out_u, out_v
+
+
+def resolution(cell: np.ndarray) -> np.ndarray:
+    return _unpack(cell)[0]
+
+
+# ---------------------------------------------------------------------------
+# hierarchy
+# ---------------------------------------------------------------------------
+def parent(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray:
+    """Containing cell one (or more) resolution(s) up — exact integer math.
+
+    Each step subtracts the cell's cluster delta (found by its φ-residue mod
+    7) and divides by the aperture matrix; division is exact by construction.
+    """
+    res, face, q, r = _unpack(cell)
+    cur = int(res[0]) if res.size else 0
+    assert np.all(res == cur), "parent() expects uniform resolution input"
+    target = cur - 1 if parent_res is None else parent_res
+    assert 0 <= target <= cur
+    for step in range(cur, target, -1):
+        class_a = (step - 1) % 2 == 0  # the matrix used going down from step-1
+        if class_a:
+            didx = _RES2DELTA_A7[np.mod(q + 3 * r, 7)]
+        else:
+            didx = _RES2DELTA_A7R[np.mod(q + 5 * r, 7)]
+        q = q - _DELTAS[didx, 0]
+        r = r - _DELTAS[didx, 1]
+        if class_a:  # inv(A7) = (1/7)[[2,-1],[1,3]]
+            q, r = (2 * q - r) // 7, (q + 3 * r) // 7
+        else:  # inv(A7R) = (1/7)[[3,1],[-1,2]]
+            q, r = (3 * q + r) // 7, (-q + 2 * r) // 7
+    return _pack(np.full(q.shape, target, np.int64), face, q, r)
+
+
+def center_child(cell: np.ndarray, child_res: int) -> np.ndarray:
+    res, face, q, r = _unpack(cell)
+    cur = int(res[0]) if res.size else 0
+    assert np.all(res == cur) and child_res >= cur
+    for step in range(cur, child_res):
+        a = _A7 if step % 2 == 0 else _A7R
+        q, r = a[0, 0] * q + a[0, 1] * r, a[1, 0] * q + a[1, 1] * r
+    return _pack(np.full(q.shape, child_res, np.int64), face, q, r)
+
+
+def children(cell: np.ndarray) -> np.ndarray:
+    """The 7 res+1 children of each cell → shape (n, 7)."""
+    cc = center_child(cell, int(_unpack(cell)[0][0]) + 1)
+    res, face, q, r = _unpack(cc)
+    dq = np.array([0, 1, 0, -1, 0, 1, -1], dtype=np.int64)
+    dr = np.array([0, 0, 1, 0, -1, -1, 1], dtype=np.int64)
+    qs = q[:, None] + dq[None, :]
+    rs = r[:, None] + dr[None, :]
+    return _pack(
+        np.broadcast_to(res[:, None], qs.shape),
+        np.broadcast_to(face[:, None], qs.shape),
+        qs,
+        rs,
+    )
+
+
+def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within hex distance ≤ k (same face) → shape (n, 3k(k+1)+1)."""
+    res, face, q, r = _unpack(cell)
+    deltas = [(dq, dr) for dq in range(-k, k + 1)
+              for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)]
+    dq = np.array([d[0] for d in deltas], dtype=np.int64)
+    dr = np.array([d[1] for d in deltas], dtype=np.int64)
+    qs = q[:, None] + dq[None, :]
+    rs = r[:, None] + dr[None, :]
+    return _pack(
+        np.broadcast_to(res[:, None], qs.shape),
+        np.broadcast_to(face[:, None], qs.shape),
+        qs,
+        rs,
+    )
+
+
+def hex_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hex grid distance between same-face, same-res cells."""
+    ra, fa, qa, rra = _unpack(a)
+    rb, fb, qb, rrb = _unpack(b)
+    dq, dr = qa - qb, rra - rrb
+    return np.where(
+        fa == fb,
+        (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2,
+        np.int64(1 << 30),
+    )

@@ -1,0 +1,78 @@
+"""Seeded convex polygon layer for raster↔vector joins (FIXTURES.md §2).
+
+Polygons live in the same projected plane as the COG fixtures (origin near the
+reference's transform golden (499_980, 5_300_040) — src/io/geotiff.rs:396-399).
+A handful overlap tile extents, some are disjoint, some touch edges (PIP
+boundary cases). Schema:
+
+    polygon_id STRING,
+    ring  ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,   -- closed, CCW, convex
+    bbox  STRUCT<xmin,ymin,xmax,ymax: DOUBLE>
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def polygon_schema() -> T.StructType:
+    pt = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    return T.StructType(
+        [
+            T.StructField("polygon_id", T.StringType(), False),
+            T.StructField("ring", T.ArrayType(pt), False),
+            T.StructField(
+                "bbox",
+                T.StructType(
+                    [
+                        T.StructField("xmin", T.DoubleType()),
+                        T.StructField("ymin", T.DoubleType()),
+                        T.StructField("xmax", T.DoubleType()),
+                        T.StructField("ymax", T.DoubleType()),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+
+
+def make_polygon_rows(n: int = 16, seed: int = 42) -> list[tuple]:
+    """Deterministic convex polygons: regular k-gons jittered by seeded rng.
+
+    Centers sweep the fixture extent [480k, 620k] × [5.19M, 5.41M]; a few are
+    deliberately far away (disjoint cases).
+    """
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        if i % 5 == 4:  # disjoint polygon, far from all tiles
+            cx, cy = 1_000_000.0 + i * 50_000.0, 4_000_000.0
+        else:
+            cx = 480_000.0 + (i * 140_000.0 / max(1, n - 1))
+            cy = 5_190_000.0 + ((i * 7919) % n) * (220_000.0 / max(1, n))
+        k = 3 + (i % 5)  # triangle..heptagon
+        radius = float(rng.uniform(15_000, 60_000))
+        phase = float(rng.uniform(0, 2 * math.pi))
+        ring = []
+        for v in range(k):
+            ang = phase + 2 * math.pi * v / k  # CCW
+            ring.append((cx + radius * math.cos(ang), cy + radius * math.sin(ang)))
+        ring.append(ring[0])  # closed
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        rows.append(
+            (
+                f"poly{i:04d}",
+                [{"x": x, "y": y} for x, y in ring],
+                {"xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys)},
+            )
+        )
+    return rows
+
+
+def polygons_df(spark: SparkSession, n: int = 16, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(make_polygon_rows(n, seed), polygon_schema())

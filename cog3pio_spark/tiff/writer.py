@@ -1,0 +1,181 @@
+"""Minimal deterministic TIFF writer (classic, little-endian).
+
+Supports exactly what the fixture matrix needs (FIXTURES.md §3):
+striped or tiled layout, uncompressed or DEFLATE (zlib), chunky
+(pixel-interleaved) planar config, all reference dtypes
+{u8,u16,u32,u64,i8,i16,i32,i64,f16,f32,f64}, 1..n bands, optional GeoTIFF
+ModelPixelScale/ModelTiepoint tags, and a palette-color mode used only to
+produce the reference's unsupported-colortype error fixture
+(/root/reference/python/tests/test_io_geotiff.py:90-103).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF tag ids
+IMAGE_WIDTH = 256
+IMAGE_LENGTH = 257
+BITS_PER_SAMPLE = 258
+COMPRESSION = 259  # 1 = none, 8 = Adobe DEFLATE (zlib)
+PHOTOMETRIC = 262  # 1 = BlackIsZero, 2 = RGB, 3 = Palette
+STRIP_OFFSETS = 273
+SAMPLES_PER_PIXEL = 277
+ROWS_PER_STRIP = 278
+STRIP_BYTE_COUNTS = 279
+PLANAR_CONFIG = 284  # 1 = chunky
+COLOR_MAP = 320
+TILE_WIDTH = 322
+TILE_LENGTH = 323
+TILE_OFFSETS = 324
+TILE_BYTE_COUNTS = 325
+SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = float
+MODEL_PIXEL_SCALE = 33550
+MODEL_TIEPOINT = 33922
+MODEL_TRANSFORMATION = 34264
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_DOUBLE = 12
+_TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+_TYPE_FMT = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}
+
+_SAMPLE_FORMAT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def _entries_bytes(tag: int, typ: int, values: list, extra: list) -> bytes:
+    """Serialize one IFD entry; spill >4-byte payloads into ``extra``."""
+    count = len(values)
+    payload = struct.pack("<" + _TYPE_FMT[typ] * count, *values)
+    if len(payload) <= 4:
+        payload = payload.ljust(4, b"\x00")
+        return struct.pack("<HHI", tag, typ, count) + payload
+    extra.append((tag, typ, count, payload))
+    # offset patched later; store placeholder index in the entry
+    return struct.pack("<HHI", tag, typ, count) + b"OFF?"
+
+
+def write_tiff(
+    path: str,
+    array: np.ndarray,
+    *,
+    tiled: bool = False,
+    tile_size: int = 16,
+    compression: str = "none",  # "none" | "deflate"
+    photometric: int | None = None,
+    pixel_scale: tuple[float, float] | None = None,
+    tiepoint: tuple[float, ...] | None = None,  # (i, j, k, x, y, z)
+    model_transformation: list[float] | None = None,
+    palette: bool = False,
+) -> str:
+    """Write ``array`` of shape (bands, h, w) or (h, w) as a chunky TIFF.
+
+    Pixel data is stored pixel-interleaved (chunky) like typical COGs.
+    Returns ``path``.
+    """
+    if array.ndim == 2:
+        array = array[np.newaxis, :, :]
+    bands, height, width = array.shape
+    dt = array.dtype
+    bits = dt.itemsize * 8
+    sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
+
+    # chunky interleave: (h, w, bands) row-major
+    chunky = np.ascontiguousarray(np.moveaxis(array, 0, -1))
+
+    if photometric is None:
+        photometric = 3 if palette else (2 if bands == 3 else 1)
+
+    def compress(buf: bytes) -> bytes:
+        return zlib.compress(buf, 6) if compression == "deflate" else buf
+
+    chunks: list[bytes] = []
+    if tiled:
+        tw = th = tile_size
+        for ty in range(0, height, th):
+            for tx in range(0, width, tw):
+                tile = np.zeros((th, tw, bands), dtype=dt)
+                block = chunky[ty : ty + th, tx : tx + tw, :]
+                tile[: block.shape[0], : block.shape[1], :] = block
+                chunks.append(compress(tile.tobytes()))
+    else:
+        rows_per_strip = max(1, min(height, 8))
+        for sy in range(0, height, rows_per_strip):
+            chunks.append(compress(chunky[sy : sy + rows_per_strip].tobytes()))
+
+    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched below
+    data_start = len(header)
+    offsets, cursor = [], data_start
+    for c in chunks:
+        offsets.append(cursor)
+        cursor += len(c)
+    ifd_offset = cursor + (cursor % 2)  # word-align IFD
+
+    extra: list[tuple[int, int, int, bytes]] = []
+    entries: list[bytes] = []
+
+    def add(tag, typ, values):
+        entries.append(_entries_bytes(tag, typ, list(values), extra))
+
+    add(IMAGE_WIDTH, _TYPE_LONG, [width])
+    add(IMAGE_LENGTH, _TYPE_LONG, [height])
+    add(BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * bands)
+    add(COMPRESSION, _TYPE_SHORT, [8 if compression == "deflate" else 1])
+    add(PHOTOMETRIC, _TYPE_SHORT, [photometric])
+    if tiled:
+        add(TILE_WIDTH, _TYPE_SHORT, [tile_size])
+        add(TILE_LENGTH, _TYPE_SHORT, [tile_size])
+        add(TILE_OFFSETS, _TYPE_LONG, offsets)
+        add(TILE_BYTE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
+    else:
+        add(STRIP_OFFSETS, _TYPE_LONG, offsets)
+        add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
+        add(ROWS_PER_STRIP, _TYPE_LONG, [max(1, min(height, 8))])
+        add(STRIP_BYTE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
+    if tiled:
+        add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
+    add(PLANAR_CONFIG, _TYPE_SHORT, [1])
+    if palette:
+        cmap = list(range(256)) * 3  # 3*256 SHORT palette
+        add(COLOR_MAP, _TYPE_SHORT, cmap)
+    add(SAMPLE_FORMAT, _TYPE_SHORT, [sample_format] * bands)
+    if pixel_scale is not None:
+        add(MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [pixel_scale[0], pixel_scale[1], 0.0])
+    if tiepoint is not None:
+        add(MODEL_TIEPOINT, _TYPE_DOUBLE, list(tiepoint))
+    if model_transformation is not None:
+        add(MODEL_TRANSFORMATION, _TYPE_DOUBLE, list(model_transformation))
+
+    # entries must be sorted by tag id per spec
+    entries_sorted = sorted(entries, key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd_head = struct.pack("<H", len(entries_sorted))
+    ifd_body = b"".join(entries_sorted)
+    ifd_tail = struct.pack("<I", 0)  # no next IFD
+    extra_start = ifd_offset + len(ifd_head) + len(ifd_body) + len(ifd_tail)
+
+    # patch spilled-value offsets in entry order of appearance
+    patched, extra_cursor, extra_blob = [], extra_start, b""
+    spill_iter = iter(extra)
+    for e in entries_sorted:
+        if e.endswith(b"OFF?"):
+            tag, typ, count, payload = next(
+                s for s in extra if struct.pack("<HHI", s[0], s[1], s[2]) == e[:8]
+            )
+            patched.append(e[:8] + struct.pack("<I", extra_cursor))
+            extra_blob += payload
+            extra_cursor += len(payload)
+        else:
+            patched.append(e)
+    del spill_iter
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
+        for c in chunks:
+            f.write(c)
+        if cursor % 2:
+            f.write(b"\x00")
+        f.write(ifd_head + b"".join(patched) + ifd_tail + extra_blob)
+    return path
