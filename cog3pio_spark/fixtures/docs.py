@@ -82,6 +82,47 @@ def interleaved_docs(
     )
 
 
+def interleave_from_documents(
+    docs: DataFrame, media_refs: list[str], seed: int = 42, media_fraction: float = 0.4
+) -> DataFrame:
+    """Derive the interleaved (doc_id, spans) table from the driver's flat
+    ``documents`` parquet (doc_id, text, ...) — deterministic column math.
+
+    Text spans chunk the source text; media spans are interleaved after each
+    chunk with Zipfian fixture refs keyed on xxhash64(doc_id, span index).
+    Used by ``__spark_entry__.entry`` so the flagship query runs off the
+    driver-provided table as required.
+    """
+    cdf = zipf_cdf(len(media_refs))
+    refs_arr = F.array(*[F.lit(r) for r in media_refs])
+    cdf_arr = F.array(*[F.lit(c) for c in cdf])
+    h = lambda *cols: F.xxhash64(*cols, F.lit(seed))  # noqa: E731
+    u01 = lambda *cols: (F.pmod(h(*cols), F.lit(1_000_000)) / 1_000_000.0)  # noqa: E731
+
+    chunk = 40
+    n_chunks = F.least(
+        (F.length("text") / chunk).cast("int") + 1, F.lit(4)
+    )
+
+    def span(i):
+        is_media = (u01(F.col("doc_id"), F.lit("k"), i) < media_fraction) & (i > 0)
+        u = u01(F.col("doc_id"), F.lit("r"), i)
+        idx = F.size(F.filter(cdf_arr, lambda c: c < u))
+        ref = F.element_at(refs_arr, idx + 1)
+        txt = F.substring(F.col("text"), F.lit(1) + i * chunk, chunk)
+        return F.struct(
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_media, F.lit("")).otherwise(txt).alias("text"),
+            F.when(is_media, ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.sequence(F.lit(0), n_chunks * 2 - 1), span).alias("spans"),
+    )
+
+
 def span_sequence_checksum(df: DataFrame) -> DataFrame:
     """Per-doc invariant hash of the ordered span sequence
     (kind, text, media_ref, offset) — the input_hint per-row invariant.

@@ -1,0 +1,100 @@
+"""Vectorized pandas_udf wrappers over the numpy cell-index kernels.
+
+Each UDF receives whole Arrow batches as pandas Series and runs pure numpy —
+the plan shows ``ArrowEvalPython``, never ``BatchEvalPython`` (enforced by
+tests/test_plans.py). Ids are carried as Spark LongType (int64 bit pattern;
+S2 uses the uint64→int64 view, order-preserving for non-negative face bits
+0..5 so range predicates still prune correctly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from cog3pio_spark.cells import h3x as _h3x
+from cog3pio_spark.cells import s2 as _s2
+
+
+def s2_cell(lat: Column, lng: Column, level: int) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
+        ids = _s2.latlng_to_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), level)
+        return pd.Series(_s2.to_signed(ids))
+
+    return _u(lat, lng)
+
+
+def s2_range_min(cell: Column) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(c: pd.Series) -> pd.Series:
+        return pd.Series(_s2.to_signed(_s2.range_min(_s2.from_signed(c.to_numpy(np.int64)))))
+
+    return _u(cell)
+
+
+def s2_range_max(cell: Column) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(c: pd.Series) -> pd.Series:
+        return pd.Series(_s2.to_signed(_s2.range_max(_s2.from_signed(c.to_numpy(np.int64)))))
+
+    return _u(cell)
+
+
+def s2_parent(cell: Column, level: int) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            _s2.to_signed(_s2.parent(_s2.from_signed(c.to_numpy(np.int64)), level))
+        )
+
+    return _u(cell)
+
+
+def h3x_cell(lat: Column, lng: Column, res: int) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
+        return pd.Series(
+            _h3x.latlng_to_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), res)
+        )
+
+    return _u(lat, lng)
+
+
+def h3x_parent(cell: Column, res: int) -> Column:
+    @pandas_udf(T.LongType())
+    def _u(c: pd.Series) -> pd.Series:
+        return pd.Series(_h3x.parent(c.to_numpy(np.int64), res))
+
+    return _u(cell)
+
+
+def h3x_kring(cell: Column, k: int) -> Column:
+    """ARRAY<BIGINT> of all cells within hex distance ≤ k (for explode+join)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _u(c: pd.Series) -> pd.Series:
+        ring = _h3x.k_ring(c.to_numpy(np.int64), k)  # (n, 3k(k+1)+1)
+        return pd.Series(list(ring))
+
+    return _u(cell)
+
+
+def h3x_multi_res(lat: Column, lng: Column, res_lo: int = 5, res_hi: int = 12) -> Column:
+    """ARRAY<BIGINT> of hex cells for res_lo..res_hi (pre-compaction)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
+        lat_np = la.to_numpy(np.float64)
+        lng_np = ln.to_numpy(np.float64)
+        cols = [
+            _h3x.latlng_to_cell(lat_np, lng_np, r) for r in range(res_lo, res_hi + 1)
+        ]
+        stacked = np.stack(cols, axis=1)
+        return pd.Series(list(stacked))
+
+    return _u(lat, lng)

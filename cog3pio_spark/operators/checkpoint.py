@@ -1,0 +1,91 @@
+"""Partition-manifest checkpointing: per-partition lineage + resume
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Protocol (batch, deterministic — SURVEY §2.B sinks / §4.2):
+
+1. Work is keyed by an explicit partition column (``part_key``, normally an
+   S2 prefix from range partitioning).
+2. ``write_checkpointed`` processes only keys absent from the manifest
+   (left_anti), appends results partitioned by key, then appends one manifest
+   row per completed key with metrics (rows, bytes est., key range).
+3. A killed job re-runs with the same arguments: completed keys are skipped
+   (idempotent), partially-written data files for incomplete keys are
+   overwritten by dynamic partition overwrite.
+
+The manifest is tiny (one row per partition key) — reading it is a driver
+metadata op, never a scan of the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest")
+
+
+def data_path(base: str) -> str:
+    return os.path.join(base, "data")
+
+
+def load_manifest(spark: SparkSession, base: str) -> DataFrame | None:
+    p = manifest_path(base)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def write_checkpointed(
+    df: DataFrame,
+    base: str,
+    part_col: str = "part_key",
+) -> dict:
+    """Write ``df`` partitioned by ``part_col`` with manifest-based resume.
+
+    Returns {"written_keys": n, "skipped_keys": n, "rows": n}.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    manifest = load_manifest(spark, base)
+    skipped = 0
+    if manifest is not None:
+        done = manifest.select(F.col("part_key_done").alias(part_col)).distinct()
+        skipped = done.count()
+        df = df.join(F.broadcast(done), part_col, "left_anti")
+
+    # metrics per partition key — partial agg, one tiny shuffle
+    metrics = df.groupBy(part_col).agg(
+        F.count("*").alias("n_rows"),
+    )
+
+    pending = metrics.count()
+    if pending == 0:
+        return {"written_keys": 0, "skipped_keys": skipped, "rows": 0}
+
+    (
+        df.write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(data_path(base))
+    )
+    total_rows = metrics.agg(F.sum("n_rows")).collect()[0][0]
+    (
+        metrics.select(
+            F.col(part_col).alias("part_key_done"),
+            "n_rows",
+            F.current_timestamp().alias("completed_at"),  # metrics-only timestamp
+        )
+        .write.mode("append")
+        .parquet(manifest_path(base))
+    )
+    return {"written_keys": pending, "skipped_keys": skipped, "rows": total_rows}
+
+
+def read_checkpointed(spark: SparkSession, base: str) -> DataFrame:
+    return spark.read.parquet(data_path(base))

@@ -1,0 +1,142 @@
+"""COG decode as a vectorized Arrow stage (reference R1-R8 re-expressed).
+
+Pipeline position (SURVEY §3.4): ``dropDuplicates(media_ref)`` →
+``mapInArrow(decode_batch)`` → equi-join back to spans. Decoding runs once
+per *distinct* object no matter how many spans reference it (the Zipfian skew
+makes this dedupe essential at scale: the hottest ref appears in ~18% of
+media spans).
+
+Scale notes:
+* one Arrow batch of refs per task; each ref decodes with numpy kernels
+  (cog3pio_spark.tiff.reader) — per-object granularity, zero per-row Python
+  (the unit of work is a whole image, exactly like the reference's per-file
+  decode, src/io/geotiff.rs:39-64);
+* ``repartition(n)`` before the decode spreads hot partitions; at 100 TB the
+  distinct-ref count (~10^7) dwarfs cores, so partition balance is statistical;
+* pixel payloads are NOT carried downstream by default — per-band stats,
+  shape, dtype, affine, and checksum travel as typed columns; setting
+  ``include_pixels=True`` adds a BinaryType blob (for golden tests).
+
+Error taxonomy mirrors the reference (status='error' rows, not job failure):
+"Cannot parse path:" / "Cannot parse url:" / "Cannot find file:"
+(src/python/adapters.rs:147-162), unsupported colortype/dtype
+(src/io/geotiff.rs:67-83), reshape mismatch (:336-339).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error_msg", T.StringType(), True),
+        T.StructField("dtype", T.StringType(), True),
+        T.StructField("bands", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("band_means", T.ArrayType(T.DoubleType()), True),
+        T.StructField("px_min", T.DoubleType(), True),
+        T.StructField("px_max", T.DoubleType(), True),
+        T.StructField("pixel_sha256", T.StringType(), True),
+        T.StructField("a", T.DoubleType(), True),
+        T.StructField("b", T.DoubleType(), True),
+        T.StructField("c", T.DoubleType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("e", T.DoubleType(), True),
+        T.StructField("f", T.DoubleType(), True),
+        T.StructField("centroid_x", T.DoubleType(), True),
+        T.StructField("centroid_y", T.DoubleType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("status", pa.string()),
+        ("error_msg", pa.string()),
+        ("dtype", pa.string()),
+        ("bands", pa.int32()),
+        ("height", pa.int32()),
+        ("width", pa.int32()),
+        ("mean", pa.float64()),
+        ("band_means", pa.list_(pa.float64())),
+        ("px_min", pa.float64()),
+        ("px_max", pa.float64()),
+        ("pixel_sha256", pa.string()),
+        ("a", pa.float64()),
+        ("b", pa.float64()),
+        ("c", pa.float64()),
+        ("d", pa.float64()),
+        ("e", pa.float64()),
+        ("f", pa.float64()),
+        ("centroid_x", pa.float64()),
+        ("centroid_y", pa.float64()),
+        ("pixels", pa.binary()),
+    ]
+)
+
+
+def _decode_one(ref: str, include_pixels: bool) -> dict:
+    # imports inside the worker function: keeps the closure import-light
+    from cog3pio_spark.tiff.reader import CogReader, TiffDecodeError, _path_to_bytes
+
+    row: dict = {k.name: None for k in _ARROW_SCHEMA}
+    row["media_ref"] = ref
+    try:
+        reader = CogReader(_path_to_bytes(ref))
+        arr = reader.to_numpy()
+    except (TiffDecodeError, FileNotFoundError, Exception) as exc:  # noqa: B014
+        row["status"] = "error"
+        row["error_msg"] = str(exc)
+        return row
+    row["status"] = "ok"
+    row["dtype"] = str(arr.dtype)
+    row["bands"], row["height"], row["width"] = (int(s) for s in arr.shape)
+    farr = arr.astype(np.float64, copy=False)
+    row["mean"] = float(farr.mean())
+    row["band_means"] = [float(m) for m in farr.mean(axis=(1, 2))]
+    row["px_min"] = float(farr.min())
+    row["px_max"] = float(farr.max())
+    row["pixel_sha256"] = hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+    try:
+        tr = reader.transform()
+        row["a"], row["b"], row["c"], row["d"], row["e"], row["f"] = tr.as_tuple()
+        # tile centroid in world coordinates (pixel-center contract)
+        row["centroid_x"] = tr.c + tr.a * (reader.width / 2.0)
+        row["centroid_y"] = tr.f + tr.e * (reader.height / 2.0)
+    except Exception:
+        pass  # non-geo tiff: stats-only row
+    if include_pixels:
+        row["pixels"] = np.ascontiguousarray(arr).tobytes()
+    return row
+
+
+def decode_tiles(
+    refs: DataFrame, include_pixels: bool = False, ref_col: str = "media_ref"
+) -> DataFrame:
+    """Decode each distinct media_ref into a tile-stats row.
+
+    ``refs`` should already be distinct on ``ref_col`` (call sites use
+    ``dropDuplicates``); this function doesn't re-shuffle.
+    """
+    refs = refs.select(ref_col)
+
+    def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(0).to_pylist()
+            rows = [_decode_one(r, include_pixels) for r in col]
+            if not rows:
+                continue
+            yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)
+
+    return refs.mapInArrow(decode_batches, DECODE_SCHEMA)

@@ -1,0 +1,131 @@
+"""kNN via hex k-ring expansion join + brute-force fallback (SURVEY §2.B).
+
+Phase 1 (scale path): each query expands its hex cell to a k-ring
+(ARRAY explode → equi-join on cell). The join is a plain shuffled equi-join
+on cell id — broadcastable when the query side is small (we hint it).
+True distance is then exact haversine (column math) and a row_number()
+window keeps the k nearest.
+
+Phase 2 (completeness): queries with < k matches after phase 1 (sparse
+regions, face-boundary ring truncation — cells/h3x.py docstring) fall back
+to a broadcast brute-force pass over the points. At 100 TB the fallback set
+is the rare tail: ring misses are O(queries), never O(points); the fallback
+cost is |missed queries| × |points in coarse cells|, bounded by escalating
+ring radius before brute force.
+
+Used with points = tile centroids and queries = arbitrary lat/lng rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cog3pio_spark.functions import cells as C
+
+EARTH_RADIUS_M = 6378137.0
+
+
+def haversine_m(lat1, lng1, lat2, lng2):
+    """Great-circle distance in meters — pure column math (codegen)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlng = F.radians(lng2 - lng1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlng / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def knn_brute(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Exact kNN by broadcast cross product — the small-query-set path and
+    the correctness oracle for the ring join (oracle-checked by the driver).
+    Returns (query_id, rank, point_id, dist_m)."""
+    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"))
+    p = points.select(point_id, F.col("lat").alias("p_lat"), F.col("lng").alias("p_lng"))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+    return (
+        F.broadcast(q)
+        .crossJoin(p)
+        .withColumn(
+            "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", point_id, "dist_m")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    ring: int = 2,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """k nearest ``points`` for each query row.
+
+    queries: (query_id, lat, lng); points: (point_id, lat, lng).
+    Returns (query_id, rank, point_id, dist_m).
+
+    Exactness contract: results are exact when the true k-th neighbour lies
+    inside the k-ring coverage (≈ ring × res inradius); queries that find
+    fewer than k candidates fall back to brute force and are always exact.
+    tests/test_knn.py pins ring-vs-brute equality on clustered data.
+    """
+    q = queries.select(
+        query_id,
+        F.col("lat").alias("q_lat"),
+        F.col("lng").alias("q_lng"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("q_cell"),
+    )
+    p = points.select(
+        point_id,
+        F.col("lat").alias("p_lat"),
+        F.col("lng").alias("p_lng"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("cell"),
+    )
+
+    expanded = q.withColumn("cell", F.explode(C.h3x_kring(F.col("q_cell"), ring)))
+    probe = F.broadcast(expanded) if broadcast_queries else expanded
+    cand = probe.join(p, "cell")
+
+    dist = cand.withColumn(
+        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+    ranked = (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", point_id, "dist_m")
+    )
+
+    # fallback: queries that found < k neighbours get brute-forced
+    found = ranked.groupBy(query_id).agg(F.count("*").alias("n_found"))
+    short = (
+        q.join(found, query_id, "left")
+        .filter(F.coalesce(F.col("n_found"), F.lit(0)) < k)
+        .select(query_id, "q_lat", "q_lng")
+    )
+    brute = (
+        F.broadcast(short)
+        .crossJoin(p.select(point_id, "p_lat", "p_lng"))
+        .withColumn(
+            "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", point_id, "dist_m")
+    )
+    covered = ranked.join(short.select(query_id), query_id, "left_anti")
+    return covered.unionByName(brute)

@@ -1,0 +1,65 @@
+"""Salted cell-prefix range join (SURVEY §2.B joins).
+
+Problem shape: probe rows carry an S2 cell id; build rows carry id *ranges*
+[range_min, range_max] (e.g. compacted coverings, partition manifests).
+A naive theta join (lo ≤ cell ≤ hi) is a broadcast-nested-loop in Catalyst.
+
+Band-join rewrite (cf. PAPERS.md band-join pattern): both sides key on the
+coarse S2 prefix (parent at ``prefix_level``) — every range shorter than one
+prefix cell lands on 1-2 prefixes (ranges spanning multiple prefixes are
+exploded on the build side via sequence()) — converting the theta join into
+an equi-join on prefix + residual range filter.
+
+Skew: Zipf-hot prefixes are salted — probe rows get salt =
+pmod(xxhash64(row), n_salt); the build side is exploded × n_salt so every
+(prefix, salt) bucket exists. AQE skew-split stays on as backstop for
+residual imbalance (session.py). Salting multiplies the *small* side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cog3pio_spark.functions import cells as C
+
+
+def cell_prefix_range_join(
+    probe: DataFrame,
+    ranges: DataFrame,
+    prefix_level: int = 6,
+    n_salt: int = 8,
+    cell_col: str = "s2_cell",
+    lo_col: str = "range_lo",
+    hi_col: str = "range_hi",
+) -> DataFrame:
+    """Equi+theta rewrite of ``probe.cell BETWEEN ranges.lo AND ranges.hi``.
+
+    Returns probe columns + the matching range row's columns.
+    """
+    p = probe.withColumn("_prefix", C.s2_parent(F.col(cell_col), prefix_level)).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_salt)).cast("int")
+    )
+    # explode build ranges across every prefix cell they overlap
+    r = (
+        ranges.withColumn("_p_lo", C.s2_parent(F.col(lo_col), prefix_level))
+        .withColumn("_p_hi", C.s2_parent(F.col(hi_col), prefix_level))
+        # S2 sibling prefixes at a fixed level differ by a constant stride =
+        # 2 * lsb(level); sequence() enumerates the covered prefixes.
+        .withColumn(
+            "_prefix",
+            F.explode(
+                F.sequence(
+                    F.col("_p_lo"),
+                    F.col("_p_hi"),
+                    F.lit(2 ** (2 * (30 - prefix_level) + 1)),
+                )
+            ),
+        )
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    joined = p.join(r, ["_prefix", "_salt"], "inner").filter(
+        (F.col(cell_col) >= F.col(lo_col)) & (F.col(cell_col) <= F.col(hi_col))
+    )
+    return joined.drop("_prefix", "_salt", "_p_lo", "_p_hi")

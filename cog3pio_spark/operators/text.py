@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines (task brief).
+
+All built-in ``pyspark.sql.functions`` column math — JVM-side, codegen,
+no Python boundary. Each has an ANSI-SQL oracle in __spark_entry__.py so the
+driver's DuckDB gate checks values, not just shapes.
+
+* token_count      — whitespace tokenization count
+* quality_score    — length / punctuation-ratio / stopword-ratio features
+* lang_id          — stopword-hit heuristic over a fixed marker table
+* fingerprint      — rolling/content hash for exact-dup detection
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker sets (tiny, language-characteristic function words)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "de"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens; empty/blank string → 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + punctuation + stopwords.
+
+    Deterministic rubric (not a model): docs of reasonable length with
+    moderate punctuation and non-zero stopword mass score high.
+    """
+    n = F.length(text)
+    len_score = F.when(n < 10, 0.0).when(n > 20000, 0.3).otherwise(1.0)
+    p = punct_ratio(text)
+    punct_score = F.when(p > 0.3, 0.2).otherwise(1.0 - p)
+    s = stopword_ratio(text)
+    stop_score = F.when(s > 0.0, 1.0).otherwise(0.5)
+    return F.round((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3), 6)
+
+
+def _marker_hits(words: Column, marks: list[str]) -> Column:
+    mk = list(marks)
+    return F.size(F.filter(words, lambda w: w.isin(*mk)))
+
+
+def lang_id(text: Column) -> Column:
+    """Most-hits language over the marker table; ties → lexicographic."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = [
+        (lang, _marker_hits(words, marks)) for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    best = scores[0][1]
+    for _, sc in scores[1:]:
+        best = F.greatest(best, sc)
+    out = F.lit("und")
+    # reverse order so earlier (lexicographic) languages win ties
+    for lang, sc in reversed(scores):
+        out = F.when(sc == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: sha2 over whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.sha2(norm, 256)
+
+
+def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
