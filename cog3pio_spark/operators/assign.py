@@ -20,9 +20,14 @@ cell ranges hits parquet row-group stats.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
+from cog3pio_spark.cells import h3x
 from cog3pio_spark.functions import cells as C
 from cog3pio_spark.functions import geo as G
 
@@ -87,12 +92,6 @@ def compact_cells(
 
 def uncompact_cells(cells: DataFrame, target_res: int, cell_col: str = "cell") -> DataFrame:
     """Expand a compacted set back to uniform ``target_res``."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    from cog3pio_spark.cells import h3x
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def expand(c: pd.Series) -> pd.Series:

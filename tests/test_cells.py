@@ -1,0 +1,98 @@
+"""Property tests for the from-scratch cell indexes (SURVEY §7 M2)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pytest
+
+from cog3pio_spark.cells import h3x, s2
+
+RNG = np.random.RandomState(99)
+LAT = RNG.uniform(-85, 85, 3000)
+LNG = RNG.uniform(-180, 180, 3000)
+
+
+class TestS2:
+    def test_leaf_roundtrip(self):
+        leaf = s2.latlng_to_cell(LAT, LNG, 30)
+        assert np.all(s2.level_of(leaf) == 30)
+        clat, clng = s2.cell_center_latlng(leaf)
+        assert np.abs(clat - LAT).max() < 1e-5
+        assert (np.abs((clng - LNG + 180) % 360 - 180)).max() < 1e-4
+
+    def test_parent_contains_child(self):
+        leaf = s2.latlng_to_cell(LAT, LNG, 30)
+        for lvl in (5, 10, 20):
+            p = s2.parent(leaf, lvl)
+            assert np.all(s2.level_of(p) == lvl)
+            assert np.all(s2.range_min(p) <= leaf)
+            assert np.all(leaf <= s2.range_max(p))
+
+    def test_parent_transitive(self):
+        leaf = s2.latlng_to_cell(LAT, LNG, 30)
+        assert np.all(s2.parent(s2.parent(leaf, 12), 6) == s2.parent(leaf, 6))
+
+    def test_face_centers(self):
+        cases = [((0, 0), 0), ((0, 90), 1), ((90, 0), 2), ((0, 180), 3), ((0, -90), 4), ((-90, 0), 5)]
+        for (lat, lng), face in cases:
+            c = s2.latlng_to_cell(np.array([float(lat)]), np.array([float(lng)]), 0)
+            assert int(c[0] >> np.uint64(61)) == face
+
+    def test_locality(self):
+        a = s2.latlng_to_cell(LAT, LNG, 30)
+        b = s2.latlng_to_cell(LAT + 1e-7, LNG, 30)
+        assert (s2.parent(a, 20) == s2.parent(b, 20)).mean() > 0.95
+
+    def test_signed_view_roundtrip(self):
+        leaf = s2.latlng_to_cell(LAT, LNG, 30)
+        assert np.all(s2.from_signed(s2.to_signed(leaf)) == leaf)
+
+
+class TestHex:
+    def test_children_parent_closure(self):
+        for res in (3, 7, 11):
+            c = np.unique(h3x.latlng_to_cell(LAT, LNG, res))
+            ch = h3x.children(c)
+            assert np.all(h3x.parent(ch.ravel()).reshape(ch.shape) == c[:, None])
+            assert np.unique(ch.ravel()).size == ch.size
+
+    def test_exact_partition_into_7(self):
+        patch = h3x.k_ring(h3x.latlng_to_cell(np.array([47.0]), np.array([8.0]), 9), 20).ravel()
+        counts = collections.Counter(h3x.parent(patch).tolist())
+        assert max(counts.values()) == 7
+        assert sum(1 for v in counts.values() if v == 7) > 100
+
+    def test_multi_level_parent_consistency(self):
+        c = h3x.latlng_to_cell(LAT, LNG, 12)
+        assert np.all(h3x.parent(h3x.parent(c, 9), 5) == h3x.parent(c, 5))
+
+    def test_kring_size_and_distance(self):
+        c = np.unique(h3x.latlng_to_cell(LAT[:200], LNG[:200], 8))
+        for k in (1, 2, 3):
+            ring = h3x.k_ring(c, k)
+            assert ring.shape[1] == 3 * k * (k + 1) + 1
+            a = np.repeat(c, ring.shape[1])
+            assert np.all(h3x.hex_distance(a, ring.ravel()) <= k)
+
+    def test_geo_locality(self):
+        a = h3x.latlng_to_cell(LAT, LNG, 5)
+        b = h3x.latlng_to_cell(LAT + 1e-6, LNG, 5)
+        assert (a == b).mean() > 0.99
+
+    def test_resolution_extraction(self):
+        for res in (0, 5, 15):
+            c = h3x.latlng_to_cell(LAT[:50], LNG[:50], res)
+            assert np.all(h3x.resolution(c) == res)
+
+
+class TestCompactionNumpy:
+    """compact/uncompact round-trip at the numpy level (DataFrame op in
+    tests/test_operators.py)."""
+
+    def test_full_children_compact_roundtrip(self):
+        base = np.unique(h3x.latlng_to_cell(LAT[:100], LNG[:100], 6))
+        kids = h3x.children(base).ravel()  # complete sets by construction
+        parents = np.unique(h3x.parent(kids))
+        assert np.array_equal(np.sort(parents), np.sort(base))

@@ -1,0 +1,156 @@
+"""Operator-level Spark tests: decode stage, cell ops, joins, checkpoint."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cog3pio_spark.operators.assign import assign_cells, compact_cells, uncompact_cells
+from cog3pio_spark.operators.decode import decode_tiles
+from cog3pio_spark.operators.pip_join import pip_join
+from cog3pio_spark.operators.range_join import cell_prefix_range_join
+
+
+@pytest.fixture(scope="module")
+def decoded(spark, fixture_rows):
+    refs = spark.createDataFrame(
+        [(r["media_ref"],) for r in fixture_rows], ["media_ref"]
+    ).dropDuplicates(["media_ref"])
+    return decode_tiles(refs).cache()
+
+
+def test_decode_matches_registry(decoded, fixture_rows):
+    got = {r["media_ref"]: r.asDict() for r in decoded.collect()}
+    for row in fixture_rows:
+        g = got[row["media_ref"]]
+        if not row["valid"]:
+            assert g["status"] == "error" and g["error_msg"]
+            continue
+        assert g["status"] == "ok"
+        assert g["dtype"] == row["dtype"]
+        assert (g["bands"], g["height"], g["width"]) == (
+            row["bands"], row["height"], row["width"],
+        )
+        assert abs(g["mean"] - row["expected_mean"]) < 1e-9
+        assert g["pixel_sha256"] == row["pixel_sha256"]
+
+
+def test_decode_affine_golden(decoded):
+    g = [r for r in decoded.collect() if "geo_549x549" in r["media_ref"]][0]
+    assert (g["a"], g["b"], g["c"], g["d"], g["e"], g["f"]) == (
+        200.0, 0.0, 499_980.0, 0.0, -200.0, 5_300_040.0,
+    )
+    assert g["centroid_x"] == 499_980.0 + 200.0 * 549 / 2
+    assert g["centroid_y"] == 5_300_040.0 - 200.0 * 549 / 2
+
+
+def test_assign_cells_levels(decoded):
+    tiles = assign_cells(decoded.filter(F.col("status") == "ok"))
+    rows = tiles.select("s2_cell", "hex_cells").collect()
+    from cog3pio_spark.cells import h3x, s2
+
+    for r in rows:
+        assert int(s2.level_of(s2.from_signed(np.array([r["s2_cell"]])))[0]) == 12
+        assert len(r["hex_cells"]) == 8  # res 5..12
+        res = h3x.resolution(np.array(r["hex_cells"]))
+        assert list(res) == list(range(5, 13))
+
+
+def test_compact_uncompact_roundtrip(spark):
+    """Complete 7-child sets collapse; uncompact reproduces the input."""
+    from cog3pio_spark.cells import h3x
+
+    rng = np.random.RandomState(5)
+    base = np.unique(
+        h3x.latlng_to_cell(rng.uniform(30, 50, 40), rng.uniform(-10, 20, 40), 7)
+    )
+    kids = np.unique(h3x.children(base).ravel())  # complete child sets at res 8
+    df = spark.createDataFrame([(int(c),) for c in kids], ["cell"])
+    compacted = compact_cells(df, res_hi=8, res_lo=5)
+    got = {r["cell"] for r in compacted.collect()}
+    # all complete sets promoted (possibly further); no res-8 cells remain
+    res = h3x.resolution(np.array(sorted(got)))
+    assert (res <= 7).all()
+    back = {
+        r["cell"] for r in uncompact_cells(compacted, target_res=8).collect()
+    }
+    assert back == {int(c) for c in kids}
+
+
+def test_pip_join_boundary_cases(spark):
+    from cog3pio_spark.fixtures.polygons import polygon_schema
+
+    # unit square polygon
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    poly = spark.createDataFrame(
+        [("sq", [{"x": x, "y": y} for x, y in ring],
+          {"xmin": 0.0, "ymin": 0.0, "xmax": 10.0, "ymax": 10.0})],
+        polygon_schema(),
+    )
+    pts = spark.createDataFrame(
+        [
+            ("inside", 5.0, 5.0),
+            ("edge", 0.0, 5.0),        # on edge → contained
+            ("corner", 0.0, 0.0),      # corner → contained
+            ("outside", -0.1, 5.0),
+            ("far", 100.0, 100.0),
+        ],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    got = {r["pid"] for r in pip_join(pts, poly).collect()}
+    assert got == {"inside", "edge", "corner"}
+
+
+def test_cell_range_join(spark):
+    """Range join matches a plain theta join on the same data."""
+    from cog3pio_spark.cells import s2
+
+    rng = np.random.RandomState(11)
+    lat = rng.uniform(-60, 60, 500)
+    lng = rng.uniform(-170, 170, 500)
+    cells = s2.to_signed(s2.latlng_to_cell(lat, lng, 12))
+    probe = spark.createDataFrame([(int(c),) for c in cells], ["s2_cell"])
+
+    # ranges = level-8 parents of a sample of the points
+    parents = s2.parent(s2.latlng_to_cell(lat[:40], lng[:40], 12), 8)
+    los = s2.to_signed(s2.range_min(parents))
+    his = s2.to_signed(s2.range_max(parents))
+    ranges = spark.createDataFrame(
+        [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(zip(los, his))],
+        ["range_id", "range_lo", "range_hi"],
+    ).dropDuplicates(["range_lo"])
+
+    got = cell_prefix_range_join(probe, ranges, prefix_level=6, n_salt=4)
+    expected = probe.join(
+        ranges,
+        (F.col("s2_cell") >= F.col("range_lo")) & (F.col("s2_cell") <= F.col("range_hi")),
+    )
+    a = {(r["s2_cell"], r["range_id"]) for r in got.collect()}
+    b = {(r["s2_cell"], r["range_id"]) for r in expected.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from cog3pio_spark.operators.checkpoint import (
+        read_checkpointed,
+        write_checkpointed,
+    )
+
+    base = str(tmp_path / "ckpt")
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("part_key"), F.col("id").alias("v")
+    )
+    r1 = write_checkpointed(df, base)
+    assert r1["written_keys"] == 5 and r1["rows"] == 100
+    # resume: same write is a no-op
+    r2 = write_checkpointed(df, base)
+    assert r2["written_keys"] == 0 and r2["skipped_keys"] == 5
+    # new keys only get appended
+    df2 = spark.range(100, 140).select(
+        (F.col("id") % 7).alias("part_key"), F.col("id").alias("v")
+    )
+    r3 = write_checkpointed(df2, base)
+    assert r3["written_keys"] == 2  # keys 5, 6 are new
+    got = read_checkpointed(spark, base)
+    assert got.count() == 100 + got.filter(F.col("part_key").isin(5, 6)).count()

@@ -1,0 +1,150 @@
+"""TIFF layer goldens — re-expressing every reference assertion (SURVEY §5.1).
+
+Citations are to /root/reference (weiji14/cog3pio @ 2026-05-15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cog3pio_spark.fixtures.cogs import DTYPE_MATRIX, ensure_fixtures
+from cog3pio_spark.tiff import CogReader, TiffDecodeError, read_geotiff
+from cog3pio_spark.tiff.writer import write_tiff
+
+
+@pytest.fixture(scope="module")
+def fx():
+    rows = ensure_fixtures()
+    return {r["media_ref"].rsplit("/", 1)[-1]: r for r in rows}
+
+
+def _read(row):
+    return CogReader(open(row["media_ref"][7:], "rb").read())
+
+
+def test_gradient_golden(fx):
+    """20×10 y+x gradient, mean 14.0 — src/io/geotiff.rs:254-281."""
+    arr = _read(fx["grad_f32_20x10.tif"]).to_numpy()
+    assert arr.shape == (1, 10, 20)
+    assert arr.dtype == np.float32
+    assert float(arr.mean()) == 14.0
+
+
+def test_exact_pixels_golden(fx):
+    """1×2×3 exact float32 equality — src/io/geotiff.rs:342-366."""
+    arr = _read(fx["exact_f32_1x2x3.tif"]).to_numpy()
+    np.testing.assert_equal(
+        arr, np.array([[[1.41, 1.23, 0.78], [0.32, -0.23, -1.88]]], dtype=np.float32)
+    )
+
+
+@pytest.mark.parametrize("dt", DTYPE_MATRIX)
+def test_dtype_matrix(fx, dt):
+    """dtype dispatch parity — src/io/geotiff.rs:50-60."""
+    row = fx[f"dtype_{dt}_20x20.tif"]
+    arr = _read(row).to_numpy()
+    assert str(arr.dtype) == dt
+    assert arr.shape == (1, 20, 20)
+    assert abs(float(np.asarray(arr, np.float64).mean()) - row["expected_mean"]) < 1e-9
+
+
+def test_multiband_shape_mean_checksum(fx):
+    """Multi-band: shape + order-insensitive mean + decoded-layout sha
+    (reference asserts only mean; layout pinned per SURVEY §1.2)."""
+    import hashlib
+
+    row = fx["multiband_f32_2x64x64.tif"]
+    arr = _read(row).to_numpy()
+    assert arr.shape == (2, 64, 64)
+    assert abs(float(arr.astype(np.float64).mean()) - row["expected_mean"]) < 1e-12
+    assert hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest() == row["pixel_sha256"]
+
+
+def test_rgb_bands(fx):
+    """ColorType RGB → bands=3 — src/io/geotiff.rs:67-83."""
+    arr = _read(fx["rgb_u8_3band.tif"]).to_numpy()
+    assert arr.shape == (3, 32, 32)
+    assert arr.dtype == np.uint8
+
+
+def test_affine_golden(fx):
+    """Exact affine (200,0,499980,0,-200,5300040) — src/io/geotiff.rs:396-399."""
+    r = _read(fx["geo_549x549.tif"])
+    assert r.transform().as_tuple() == (200.0, 0.0, 499_980.0, 0.0, -200.0, 5_300_040.0)
+
+
+def test_xy_coords_golden(fx):
+    """Pixel-center half-open axes — python/tests/test_io_geotiff.py:141-169."""
+    x, y = _read(fx["dem_63x244.tif"]).xy_coords()
+    np.testing.assert_allclose(
+        x, np.linspace(1679617.031, 1679680.031, 63, endpoint=False), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        y, np.linspace(5362323.781, 5362079.781, 244, endpoint=False), rtol=0, atol=1e-6
+    )
+
+
+def test_unsupported_colortype_error(fx):
+    """Palette error message parity — python/tests/test_io_geotiff.py:90-103."""
+    with pytest.raises(
+        TiffDecodeError,
+        match=r"Photometric interpretation RGBPalette with bits per sample \[8\] is unsupported",
+    ):
+        _read(fx["err_palette.tif"])
+
+
+def test_truncated_error(fx):
+    with pytest.raises(TiffDecodeError, match="truncated or corrupt"):
+        _read(fx["err_truncated.tif"])
+
+
+def test_path_errors(tmp_path):
+    """Path/url error taxonomy — src/python/adapters.rs:147-162."""
+    with pytest.raises(TiffDecodeError, match=r"Cannot parse url: protocol://file.ext"):
+        read_geotiff("protocol://file.ext")
+    with pytest.raises(FileNotFoundError, match="Cannot find file: /nope/missing.tif"):
+        read_geotiff("/nope/missing.tif")
+    with pytest.raises(TiffDecodeError, match="Cannot parse path:"):
+        read_geotiff("\\invalid\\path")
+
+
+def test_dtype_mismatch(fx):
+    """Typed read asserts dtype — src/io/geotiff.rs:220-224."""
+    with pytest.raises(TiffDecodeError, match="Data type mismatch"):
+        read_geotiff(fx["dtype_uint16_20x20.tif"]["media_ref"], dtype="float32")
+
+
+def test_reshape_error_message(tmp_path):
+    """Size-mismatch message parity — src/io/geotiff.rs:336-339."""
+    p = str(tmp_path / "bad.tif")
+    write_tiff(p, np.zeros((1, 4, 4), np.uint8))
+    raw = bytearray(open(p, "rb").read())
+    reader = CogReader(bytes(raw))
+    reader.width = 5  # force size mismatch
+    with pytest.raises(TiffDecodeError, match=r"failed to convert vector of size 16 to shape \[1, 4, 5\]"):
+        reader.to_numpy()
+
+
+def test_rotation_unsupported(tmp_path):
+    """ModelTransformation present → unsupported — src/io/geotiff.rs:118-123."""
+    p = str(tmp_path / "rot.tif")
+    write_tiff(
+        p, np.zeros((1, 4, 4), np.float32), model_transformation=[1.0] * 16
+    )
+    with pytest.raises(TiffDecodeError, match="rotations or shears"):
+        CogReader(open(p, "rb").read()).transform()
+
+
+def test_deflate_and_tiled_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(2, 37, 23) * 100).astype(np.float32)
+    for tiled in (False, True):
+        for comp in ("none", "deflate"):
+            p = str(tmp_path / f"rt_{tiled}_{comp}.tif")
+            write_tiff(p, arr, tiled=tiled, compression=comp)
+            got = CogReader(open(p, "rb").read()).to_numpy()
+            assert got.shape == (2, 37, 23)
+            # decoded layout = chunky reshape; compare via that layout
+            expect = np.moveaxis(arr, 0, -1).ravel().reshape(2, 37, 23)
+            np.testing.assert_array_equal(got, expect)

@@ -1,0 +1,144 @@
+"""Training-data operators: dedupe family, ANN, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cog3pio_spark.operators.ann import brute_force_topk, lsh_topk
+from cog3pio_spark.operators.dedupe import (
+    exact_dedupe,
+    minhash_lsh_dupes,
+    ngram_jaccard_pairs,
+    simhash_dupes,
+)
+from cog3pio_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_features,
+    frame_sample,
+)
+from cog3pio_spark.operators.text import text_features
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark query engines",
+        "numerical weather prediction with ensemble kalman filters",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((f"d{i:03d}a", t))
+        rows.append((f"d{i:03d}b", t))  # exact dup
+        rows.append((f"d{i:03d}c", t + " tail"))  # near dup
+    rows.append(("solo", "entirely unrelated text with zero overlap tokens"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedupe(dup_docs):
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedupe(dup_docs).collect()}
+    assert out["d000a"] == 2 and out["d001a"] == 2 and out["d002a"] == 2
+    assert out["solo"] == 1
+    assert "d000b" not in out  # min-id wins
+
+
+def test_minhash_finds_near_dups(dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dupes(dup_docs, jaccard_threshold=0.7).collect()
+    }
+    # exact dups must be found; near-dups (tail) very likely
+    assert ("d000a", "d000b") in pairs
+    assert ("d001a", "d001b") in pairs
+    # no cross-content false positives at threshold 0.7
+    assert not any(a[:4] != b[:4] for a, b in pairs if a != "solo" and b != "solo")
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_dupes(dup_docs, max_hamming=3).collect()
+    }
+    assert ("d000a", "d000b") in pairs
+    assert ("d002a", "d002b") in pairs
+
+
+def test_ngram_jaccard_exact_values(dup_docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3).collect()
+    }
+    assert out[("d000a", "d000b")] == 1.0
+    # near-dup pair: 10 grams shared, 11 in the longer → 10/11
+    assert abs(out[("d000a", "d000c")] - round(10 / 11, 6)) < 1e-9
+
+
+def test_ann_brute_vs_numpy(spark):
+    rng = np.random.RandomState(4)
+    mat = rng.randn(200, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    q = [(0, [float(x) for x in mat[0]])]
+    got = brute_force_topk(df, q, k=5).collect()
+    # numpy oracle
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[0]
+    order = np.lexsort((np.arange(200), -sims))[:5]
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == list(order)
+    assert got[0]["cosine"] == 1.0
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(8)
+    mat = rng.randn(300, 16)
+    # plant 5 near-identical vectors of query
+    qv = rng.randn(16)
+    for i in range(5):
+        mat[i] = qv + rng.randn(16) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(77, [float(x) for x in qv])], ["query_id", "embedding"])
+    got = lsh_topk(df, qdf, dim=16, k=5, n_planes=8)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids & {0, 1, 2, 3, 4}) >= 3  # high recall on planted dups
+
+
+def test_text_features_basics(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat and the dog went to the house in the garden"),
+            ("b", "der hund und die katze das ist nicht gut"),
+            ("c", "!!! ??? ... ###"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_features(df).collect()}
+    assert out["a"]["n_tokens"] == 12
+    assert out["a"]["lang_pred"] == "en"
+    assert out["b"]["lang_pred"] == "de"
+    assert out["a"]["quality"] > out["c"]["quality"]
+    assert out["a"]["fingerprint"] != out["b"]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"x" * 100),
+        ("m2", b"\x89PNG\r\n" + b"y" * 50),
+        ("m3", b"II\x2a\x00" + b"z" * 10),
+        ("m4", b"freeform-bytes" * 8),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    meta = {r["media_id"]: r["media_type"] for r in attach_media_meta(df).collect()}
+    assert meta == {
+        "m1": "image/jpeg", "m2": "image/png", "m3": "image/tiff",
+        "m4": "application/octet-stream",
+    }
+    feats = extract_features(df).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    frames = frame_sample(df, n_frames=4).collect()
+    assert len(frames) == 16
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2, 3}
