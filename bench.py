@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+spatial-join + tile-assignment pipeline on a seeded synthetic interleaved-doc
+table, and prints ONE JSON line:
+
+    {"metric": ..., "value": docs_per_sec, "unit": "docs/sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+All human-readable logging goes to stderr; stdout carries only the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+FARM_DIR = os.environ.get(
+    "SPARK_GRAFT_FARM_DIR", os.path.join(HERE, "tests", "fixtures", "tile_farm")
+)
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_nation_revenue",
+    "q06_cumulative_monthly_revenue",
+    "q08_sessionization",
+    "q13_dedupe_exact",
+    "q14_text_features",
+    "q16_ngram_jaccard",
+    "q17_ann_topk",
+    "q19_pip_boxes",
+    "q20_knn",
+    "q23_minhash_dupes",
+    "q24_simhash_dupes",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def prepare_docs_parquet(spark, n_docs: int) -> str:
+    """Materialize the synthetic interleaved-doc table once (outside timing).
+
+    The benchmark measures the *pipeline over a stored table* (north_rule
+    input shape), not column-expression data generation.
+    """
+    from cog3pio_spark.fixtures.cogs import generate_tile_farm
+    from cog3pio_spark.fixtures.docs import interleaved_docs
+
+    path = os.path.join(FARM_DIR, "..", f"bench_docs_{n_docs}.parquet")
+    path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        refs = generate_tile_farm(FARM_DIR, n=400)
+        parts = int(CPUS) * 4 if CPUS.isdigit() else 64
+        log(f"materializing {n_docs} interleaved docs → {path}")
+        interleaved_docs(spark, n_docs, refs, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_spatial_pipeline(spark, n_docs: int) -> tuple[float, int]:
+    """Flagship docs→tiles→cells→PIP→agg run; returns (sec, docs)."""
+    from cog3pio_spark.fixtures.polygons import polygons_df
+    from cog3pio_spark.plans.flagship import flagship_pipeline
+
+    path = prepare_docs_parquet(spark, n_docs)
+    docs = spark.read.parquet(path)
+    polys = polygons_df(spark, 64)
+    dts = []
+    for run in range(2):  # run 1 warms Python workers + codegen; report run 2
+        t0 = time.perf_counter()
+        rows = flagship_pipeline(docs, polys).collect()
+        dts.append(time.perf_counter() - t0)
+        log(f"spatial pipeline run{run}: {n_docs} docs in {dts[-1]:.2f}s → {len(rows)} rows")
+    return dts[-1], n_docs
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from cog3pio_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(32, int(CPUS) * 2 if CPUS.isdigit() else 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {times[name]}s ({n} rows)")
+
+    sec, docs = run_spatial_pipeline(spark, N_DOCS)
+    times["spatial_pipeline"] = round(sec, 3)
+    docs_per_sec = docs / sec
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assignment_throughput",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

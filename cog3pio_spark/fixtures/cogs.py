@@ -143,6 +143,38 @@ def generate_fixtures(out_dir: str) -> list[dict]:
     return rows
 
 
+def generate_tile_farm(out_dir: str, n: int = 400, seed: int = 42) -> list[str]:
+    """Deterministic 'tile farm' for benchmarking: ``n`` small GeoTIFFs with
+    geo tags spread across the fixture extent, mixed dtypes/sizes/layouts.
+
+    Decode work per tile is real (strips/tiles + deflate), so the bench's
+    decode stage measures actual kernel throughput, not 19 cached fixtures.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    dtypes = ["uint8", "uint16", "int32", "float32", "float64"]
+    refs = []
+    for i in range(n):
+        path = os.path.join(out_dir, f"tile_{i:05d}.tif")
+        refs.append("file://" + path)
+        if os.path.exists(path):
+            continue
+        dt = dtypes[i % len(dtypes)]
+        h = w = int(rng.choice([32, 48, 64]))
+        arr = (rng.rand(1, h, w) * 200).astype(dt)
+        x0 = 480_000.0 + (i % 40) * 3_500.0
+        y0 = 5_410_000.0 - (i // 40) * 20_000.0
+        write_tiff(
+            path,
+            arr,
+            tiled=bool(i % 2),
+            compression="deflate" if i % 3 else "none",
+            pixel_scale=(30.0, 30.0),
+            tiepoint=(0, 0, 0, x0, y0, 0),
+        )
+    return refs
+
+
 def default_fixture_dir() -> str:
     """Committed fixture location inside the repo."""
     return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -150,10 +182,8 @@ def default_fixture_dir() -> str:
 
 
 def ensure_fixtures(out_dir: str | None = None) -> list[dict]:
-    """Generate fixtures if missing; always return the registry rows."""
+    """Generate the fixture matrix (idempotent + deterministic) and return
+    the registry rows. Files are regenerated in place if already present —
+    generation is cheap and seeded, so this doubles as a consistency check."""
     out_dir = out_dir or default_fixture_dir()
-    marker = os.path.join(out_dir, "geo_549x549.tif")
-    rows = generate_fixtures(out_dir) if not os.path.exists(marker) else None
-    if rows is None:
-        rows = generate_fixtures(out_dir)  # cheap + idempotent + deterministic
-    return rows
+    return generate_fixtures(out_dir)

@@ -1,0 +1,76 @@
+"""AvailableNow streaming ingest over the interleaved-doc table.
+
+Batch/stream parity: the transformation body is the same media-span explode
+used by plans/flagship.py, so a row that flows through the stream and the
+same row processed in batch produce identical span rows (tested in
+tests/test_streaming.py). Late data is handled with a watermark on the
+ingest timestamp; counts use tumbling windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def doc_stream_schema() -> T.StructType:
+    span = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("spans", T.ArrayType(span)),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+
+
+def available_now_ingest(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain all currently-available doc files exactly once, writing media
+    spans to parquet. Re-running resumes from the stream checkpoint —
+    streaming-native lineage complementing the batch manifest."""
+    stream = (
+        spark.readStream.schema(doc_stream_schema())
+        .format("parquet")
+        .load(input_dir)
+    )
+    spans = (
+        stream.select("doc_id", "ingest_ts", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id",
+            "ingest_ts",
+            "pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+        .filter(F.col("kind") == "media")
+    )
+    q = (
+        spans.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_media_counts(docs_stream: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window media-span counts (late data ≤ 1 window)."""
+    spans = docs_stream.select(
+        "ingest_ts", F.explode("spans").alias("span")
+    ).filter(F.col("span.kind") == "media")
+    return (
+        spans.withWatermark("ingest_ts", window)
+        .groupBy(F.window("ingest_ts", window).alias("win"), F.col("span.media_ref").alias("media_ref"))
+        .agg(F.count("*").alias("n_spans"))
+    )

@@ -1,0 +1,48 @@
+"""AvailableNow stream ingest: exactly-once drain + batch parity + resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cog3pio_spark.streaming.ingest import available_now_ingest, doc_stream_schema
+
+
+@pytest.fixture()
+def doc_files(spark, fixture_refs, tmp_path):
+    from cog3pio_spark.fixtures.docs import interleaved_docs
+
+    docs = interleaved_docs(spark, 200, fixture_refs).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.xxhash64("doc_id") % 3600)
+    )
+    path = str(tmp_path / "stream_in")
+    docs.write.parquet(path)
+    return path, docs
+
+
+def test_available_now_drains_and_resumes(spark, doc_files, tmp_path):
+    input_dir, docs = doc_files
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    available_now_ingest(spark, input_dir, ckpt, out)
+    got = spark.read.parquet(out)
+    expected = (
+        docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .filter(F.col("span.kind") == "media")
+        .count()
+    )
+    assert got.count() == expected
+
+    # re-run: checkpoint ⇒ no duplicates (exactly-once drain)
+    available_now_ingest(spark, input_dir, ckpt, out)
+    assert spark.read.parquet(out).count() == expected
+
+    # batch parity: same rows as the batch explode
+    batch = (
+        docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .filter(F.col("span.kind") == "media")
+        .select("doc_id", "pos", F.col("span.media_ref").alias("media_ref"))
+    )
+    diff = batch.exceptAll(got.select("doc_id", "pos", "media_ref")).count()
+    assert diff == 0
