@@ -409,6 +409,157 @@ def q26_multimodal_features(spark, sf):
     )
 
 
+def q27_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.date_format("o_orderdate", "yyyy") == "1995")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q28_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def q29_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.date_format("o_orderdate", "yyyy") == "1995").select("o_custkey")
+    b = o.filter(F.date_format("o_orderdate", "yyyy") == "1996").select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "custkey")
+
+
+def q30_hex_rollup(spark, sf):
+    """Multi-resolution rollup: doc counts per hex cell at res 5/6/7 with
+    grouping level tags (rows-only: cell math not SQL-expressible)."""
+    from cog3pio_spark.functions import cells as C
+
+    pts = _cust_points(spark, sf)
+    cells = pts.select(
+        C.h3x_cell(F.col("lat"), F.col("lng"), 5).alias("res5"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 6).alias("res6"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 7).alias("res7"),
+    )
+    return (
+        cells.rollup("res5", "res6", "res7")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def q31_cell_range_join(spark, sf):
+    """Salted prefix range join: customer points vs level-8 cell ranges of
+    every 50th customer (rows-only: S2 ranges not SQL-expressible)."""
+    import numpy as np
+
+    from cog3pio_spark.cells import s2
+    from cog3pio_spark.functions import cells as C
+    from cog3pio_spark.operators.range_join import cell_prefix_range_join
+
+    pts = _cust_points(spark, sf).withColumn(
+        "s2_cell", C.s2_cell(F.col("lat"), F.col("lng"), 12)
+    )
+    anchors = pts.filter(F.col("c_custkey") % 50 == 0).select("c_custkey", "s2_cell").collect()
+    cells = s2.from_signed(np.array([r["s2_cell"] for r in anchors], dtype=np.int64))
+    parents = s2.parent(cells, 8)
+    ranges = spark.createDataFrame(
+        [
+            (int(r["c_custkey"]), int(lo), int(hi))
+            for r, lo, hi in zip(
+                anchors,
+                s2.to_signed(s2.range_min(parents)).tolist(),
+                s2.to_signed(s2.range_max(parents)).tolist(),
+            )
+        ],
+        ["anchor_key", "range_lo", "range_hi"],
+    ).dropDuplicates(["range_lo"])
+    out = cell_prefix_range_join(pts, ranges, prefix_level=6, n_salt=4)
+    return out.groupBy("anchor_key").agg(F.count("*").alias("n_in_range"))
+
+
+def q32_lsh_topk(spark, sf):
+    from cog3pio_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(5, 6)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, q, dim=64, k=5, n_planes=8)
+
+
+def q33_compact_cells(spark, sf):
+    from cog3pio_spark.functions import cells as C
+    from cog3pio_spark.operators.assign import compact_cells
+
+    pts = _cust_points(spark, sf)
+    cells = pts.select(C.h3x_cell(F.col("lat"), F.col("lng"), 8).alias("cell"))
+    return compact_cells(cells, res_hi=8, res_lo=5)
+
+
+def q34_span_invariant(spark, sf):
+    """Span-sequence checksum before vs after pipeline explode/rebuild —
+    returns violations (empty = invariant holds)."""
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.fixtures.docs import interleave_from_documents, span_sequence_checksum
+    from cog3pio_spark.plans.flagship import media_spans
+
+    refs = [r["media_ref"] for r in ensure_fixtures() if r["valid"]]
+    docs = interleave_from_documents(_t(spark, sf, "documents"), refs)
+    before = span_sequence_checksum(docs)
+    rebuilt = (
+        media_spans(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "kind", "text", "media_ref", "offset"))
+            ).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.sha2(
+                F.to_json(
+                    F.transform(
+                        "ss",
+                        lambda s: F.struct(
+                            s["kind"].alias("kind"),
+                            s["text"].alias("text"),
+                            s["media_ref"].alias("media_ref"),
+                            s["offset"].alias("offset"),
+                        ),
+                    )
+                ),
+                256,
+            ).alias("span_checksum"),
+        )
+    )
+    return (
+        before.alias("a")
+        .join(rebuilt.alias("b"), "doc_id")
+        .filter(F.col("a.span_checksum") != F.col("b.span_checksum"))
+        .select("doc_id")
+    )
+
+
+def q35_knn_exact_vs_ring(spark, sf):
+    """Ring kNN vs brute force disagreement rows (rows-only; empty on
+    clustered data where the ring covers the k-NN radius)."""
+    from cog3pio_spark.operators.knn import knn_brute, knn_join
+
+    pts = _cust_points(spark, sf)
+    queries = pts.filter(F.col("c_custkey").isin(7, 8, 9)).withColumnRenamed(
+        "c_custkey", "query_id"
+    )
+    points = pts.withColumnRenamed("c_custkey", "point_id")
+    ring = knn_join(queries, points, k=3, res=5, ring=2)
+    brute = knn_brute(queries, points, k=3)
+    return ring.select("query_id", "rank", "point_id").exceptAll(
+        brute.select("query_id", "rank", "point_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -437,6 +588,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_simhash_dupes": q24_simhash_dupes,
         "q25_decode_tiles": q25_decode_tiles,
         "q26_multimodal_features": q26_multimodal_features,
+        "q27_semi_join": q27_semi_join,
+        "q28_anti_join": q28_anti_join,
+        "q29_intersect": q29_intersect,
+        "q30_hex_rollup": q30_hex_rollup,
+        "q31_cell_range_join": q31_cell_range_join,
+        "q32_lsh_topk": q32_lsh_topk,
+        "q33_compact_cells": q33_compact_cells,
+        "q34_span_invariant": q34_span_invariant,
+        "q35_knn_exact_vs_ring": q35_knn_exact_vs_ring,
     }
 
 
@@ -668,5 +828,20 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist_m ASC, point_id ASC) AS rank
                 FROM d
             ) WHERE rank <= 5
+        """,
+        "q27_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND strftime(o_orderdate, '%Y') = '1995')
+        """,
+        "q28_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q29_intersect": """
+            SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1995'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
         """,
     }

@@ -2,9 +2,14 @@
 
 Each UDF receives whole Arrow batches as pandas Series and runs pure numpy —
 the plan shows ``ArrowEvalPython``, never ``BatchEvalPython`` (enforced by
-tests/test_plans.py). Ids are carried as Spark LongType (int64 bit pattern;
-S2 uses the uint64→int64 view, order-preserving for non-negative face bits
-0..5 so range predicates still prune correctly).
+tests/test_pipeline.py).
+
+Id carrier: Spark LongType via the uint64→int64 bit view. Faces 4 and 5 set
+bit 63, so signed ordering permutes the *face blocks* (4,5 sort before 0..3)
+— but every S2 cell range [range_min, range_max] lies within one face, where
+the signed view is strictly monotone. BETWEEN predicates, range joins and
+range partitioning therefore stay correct; only cross-face global order is
+cosmetic, which nothing relies on.
 """
 
 from __future__ import annotations

@@ -86,14 +86,21 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
-def _decode_one(ref: str, include_pixels: bool) -> dict:
+def _decode_one(ref: str, include_pixels: bool, overview: int = 0) -> dict:
+    """Decode one object. ``overview`` selects the COG pyramid level (0 =
+    full res, reference parity; clamped to the deepest available level) —
+    the predicate-pushdown hook: a query that only needs coarse statistics
+    decodes 4^k× fewer pixels."""
     # imports inside the worker function: keeps the closure import-light
     from cog3pio_spark.tiff.reader import CogReader, TiffDecodeError, _path_to_bytes
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
     row["media_ref"] = ref
     try:
-        reader = CogReader(_path_to_bytes(ref))
+        data = _path_to_bytes(ref)
+        probe = CogReader(data)  # tag parse only; decode is lazy
+        level = min(overview, probe.num_images - 1)
+        reader = CogReader(data, image_index=level) if level else probe
         arr = reader.to_numpy()
     except (TiffDecodeError, FileNotFoundError, Exception) as exc:  # noqa: B014
         row["status"] = "error"
@@ -122,19 +129,23 @@ def _decode_one(ref: str, include_pixels: bool) -> dict:
 
 
 def decode_tiles(
-    refs: DataFrame, include_pixels: bool = False, ref_col: str = "media_ref"
+    refs: DataFrame,
+    include_pixels: bool = False,
+    ref_col: str = "media_ref",
+    overview: int = 0,
 ) -> DataFrame:
     """Decode each distinct media_ref into a tile-stats row.
 
     ``refs`` should already be distinct on ``ref_col`` (call sites use
-    ``dropDuplicates``); this function doesn't re-shuffle.
+    ``dropDuplicates``); this function doesn't re-shuffle. ``overview`` is
+    pushed into the UDF (COG pyramid level selection).
     """
     refs = refs.select(ref_col)
 
     def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column(0).to_pylist()
-            rows = [_decode_one(r, include_pixels) for r in col]
+            rows = [_decode_one(r, include_pixels, overview) for r in col]
             if not rows:
                 continue
             yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)

@@ -1,0 +1,75 @@
+"""Per-partition metrics + golden-compare ops (SURVEY §2.B UDF surface:
+``applyInPandas`` grouped by partition id).
+
+``partition_metrics`` emits one row per physical partition with row counts,
+byte estimates and per-partition key ranges — the lineage/metrics payload the
+checkpoint manifest stores (north_rule "per-partition lineage + metrics").
+
+``golden_compare`` is the two-way exceptAll golden-file contract used by the
+golden tests (FIXTURES.md §4): order-insensitive equality with a row-count +
+schema guard.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def partition_metrics(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """One row per physical partition: (partition_id, n_rows, key_lo, key_hi).
+
+    Uses applyInPandas grouped on spark_partition_id — each group is exactly
+    one partition's data, so min/max are true partition key ranges (useful to
+    verify repartitionByRange produced contiguous, balanced cell ranges).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("approx_bytes", T.LongType()),
+            T.StructField("key_lo", T.StringType()),
+            T.StructField("key_hi", T.StringType()),
+        ]
+    )
+    kc = key_col
+
+    def one_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["_pid"].iloc[0])
+        body = pdf.drop(columns=["_pid"])
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "n_rows": [len(body)],
+                "approx_bytes": [int(body.memory_usage(deep=True).sum())],
+                "key_lo": [str(body[kc].min()) if kc and len(body) else None],
+                "key_hi": [str(body[kc].max()) if kc and len(body) else None],
+            }
+        )
+
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .applyInPandas(one_partition, schema)
+    )
+
+
+def golden_compare(actual: DataFrame, golden: DataFrame) -> dict:
+    """Order-insensitive golden equality: schema names + row count + two-way
+    exceptAll. Returns a verdict dict; tests assert verdict['match']."""
+    a_cols, g_cols = sorted(actual.columns), sorted(golden.columns)
+    if a_cols != g_cols:
+        return {"match": False, "reason": f"schema {a_cols} != {g_cols}"}
+    a_sel = actual.select(*a_cols)
+    g_sel = golden.select(*g_cols)
+    missing = g_sel.exceptAll(a_sel).count()
+    extra = a_sel.exceptAll(g_sel).count()
+    return {
+        "match": missing == 0 and extra == 0,
+        "missing_rows": missing,
+        "extra_rows": extra,
+        "actual_rows": a_sel.count(),
+        "golden_rows": g_sel.count(),
+    }

@@ -48,8 +48,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # sketch aggregates (hll_sketch_agg) use ObjectHashAggregate, which
+        # silently falls back to SORT-based aggregation past 128 distinct
+        # keys per task — that fallback turned a 14s pipeline run into 167s
+        # (full sort of the span table per task). 64k keys × sketch size
+        # comfortably fits executor memory.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # single-box: locality waits only add scheduler jitter (tasks idled
+        # up to 3s waiting for "preferred" executors that don't exist)
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -64,34 +64,45 @@ class AffineTransform:
         return (self.a, self.b, self.c, self.d, self.e, self.f)
 
 
-def _read_ifd(buf: bytes) -> dict[int, list]:
+def _read_ifds(buf: bytes) -> list[dict[int, list]]:
+    """Parse the full IFD chain (image 0 = full resolution, 1.. = overviews).
+
+    The reference stops at image 0 (src/io/geotiff.rs:46); parsing the chain
+    is the engine's overview extension (north_star) — selection happens in
+    CogReader(image_index=...).
+    """
     if len(buf) < 8 or buf[:2] not in (b"II",):
         raise TiffDecodeError("Cannot parse TIFF header (little-endian classic only)")
     try:
         magic, ifd_offset = struct.unpack_from("<HI", buf, 2)
         if magic != 42:
             raise TiffDecodeError(f"Cannot parse TIFF header: bad magic {magic}")
-        tags: dict[int, list] = {}
-        # first IFD only — reference decodes image 0 (src/io/geotiff.rs:46)
-        (n_entries,) = struct.unpack_from("<H", buf, ifd_offset)
-        pos = ifd_offset + 2
-        for _ in range(n_entries):
-            tag, typ, count = struct.unpack_from("<HHI", buf, pos)
-            size = W._TYPE_SIZES.get(typ)
-            if size is None:  # unknown entry type: skip
+        ifds: list[dict[int, list]] = []
+        while ifd_offset != 0 and len(ifds) < 32:  # 32 = runaway-chain guard
+            tags: dict[int, list] = {}
+            (n_entries,) = struct.unpack_from("<H", buf, ifd_offset)
+            pos = ifd_offset + 2
+            for _ in range(n_entries):
+                tag, typ, count = struct.unpack_from("<HHI", buf, pos)
+                size = W._TYPE_SIZES.get(typ)
+                if size is None:  # unknown entry type: skip
+                    pos += 12
+                    continue
+                total = size * count
+                if total <= 4:
+                    off = pos + 8
+                else:
+                    (off,) = struct.unpack_from("<I", buf, pos + 8)
+                fmt = "<" + W._TYPE_FMT[typ] * count
+                tags[tag] = list(struct.unpack_from(fmt, buf, off))
                 pos += 12
-                continue
-            total = size * count
-            if total <= 4:
-                off = pos + 8
-            else:
-                (off,) = struct.unpack_from("<I", buf, pos + 8)
-            fmt = "<" + W._TYPE_FMT[typ] * count
-            tags[tag] = list(struct.unpack_from(fmt, buf, off))
-            pos += 12
+            ifds.append(tags)
+            (ifd_offset,) = struct.unpack_from("<I", buf, pos)
     except struct.error as exc:
         raise TiffDecodeError(f"Cannot parse TIFF: truncated or corrupt ({exc})") from exc
-    return tags
+    if not ifds:
+        raise TiffDecodeError("Cannot parse TIFF: no IFDs")
+    return ifds
 
 
 class CogReader:
@@ -103,9 +114,19 @@ class CogReader:
     reference's ``__dlpack__`` path.
     """
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, image_index: int = 0):
+        """``image_index=0`` is the reference-parity full-resolution decode;
+        indices 1.. select COG overview levels (engine extension)."""
         self._buf = data
-        self.tags = _read_ifd(data)
+        self.ifds = _read_ifds(data)
+        if image_index >= len(self.ifds):
+            raise TiffDecodeError(
+                f"Image index {image_index} out of range: file has "
+                f"{len(self.ifds)} image(s)"
+            )
+        self.image_index = image_index
+        self.num_images = len(self.ifds)
+        self.tags = self.ifds[image_index]
         t = self.tags
         if W.IMAGE_WIDTH not in t or W.IMAGE_LENGTH not in t:
             raise TiffDecodeError("Cannot parse TIFF: missing dimensions")

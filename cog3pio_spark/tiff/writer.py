@@ -70,14 +70,76 @@ def write_tiff(
     tiepoint: tuple[float, ...] | None = None,  # (i, j, k, x, y, z)
     model_transformation: list[float] | None = None,
     palette: bool = False,
+    overviews: int = 0,
 ) -> str:
     """Write ``array`` of shape (bands, h, w) or (h, w) as a chunky TIFF.
 
     Pixel data is stored pixel-interleaved (chunky) like typical COGs.
-    Returns ``path``.
+    ``overviews=k`` appends k additional IFDs holding 2×-decimated pyramid
+    levels (the COG overview structure; the reference only ever reads IFD 0
+    — src/io/geotiff.rs:46 — our reader exposes every level). Returns
+    ``path``.
     """
     if array.ndim == 2:
         array = array[np.newaxis, :, :]
+
+    levels = [array]
+    for _ in range(overviews):
+        prev = levels[-1]
+        if prev.shape[1] < 2 or prev.shape[2] < 2:
+            break
+        levels.append(np.ascontiguousarray(prev[:, ::2, ::2]))
+
+    sections = []
+    base = 8  # after header
+    for lvl_idx, lvl in enumerate(levels):
+        # overview geo: pixel scale doubles per level, same tiepoint
+        ps = None
+        if pixel_scale is not None:
+            ps = (pixel_scale[0] * (2 ** lvl_idx), pixel_scale[1] * (2 ** lvl_idx))
+        blob, rel_ifd, rel_next = _image_section(
+            lvl,
+            base,
+            tiled=tiled,
+            tile_size=tile_size,
+            compression=compression,
+            photometric=photometric,
+            pixel_scale=ps,
+            tiepoint=tiepoint,
+            model_transformation=model_transformation,
+            palette=palette,
+        )
+        sections.append({"blob": bytearray(blob), "ifd": base + rel_ifd, "next": rel_next})
+        base += len(blob)
+
+    # chain IFDs
+    for i in range(len(sections) - 1):
+        s = sections[i]
+        nxt = sections[i + 1]["ifd"]
+        s["blob"][s["next"] : s["next"] + 4] = struct.pack("<I", nxt)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, sections[0]["ifd"]))
+        for s in sections:
+            f.write(bytes(s["blob"]))
+    return path
+
+
+def _image_section(
+    array: np.ndarray,
+    base: int,
+    *,
+    tiled: bool,
+    tile_size: int,
+    compression: str,
+    photometric: int | None,
+    pixel_scale,
+    tiepoint,
+    model_transformation,
+    palette: bool,
+) -> tuple[bytes, int, int]:
+    """Serialize one image (chunks + IFD + spill area) at absolute offset
+    ``base``. Returns (blob, ifd_offset_rel, next_ptr_pos_rel)."""
     bands, height, width = array.shape
     dt = array.dtype
     bits = dt.itemsize * 8
@@ -106,13 +168,12 @@ def write_tiff(
         for sy in range(0, height, rows_per_strip):
             chunks.append(compress(chunky[sy : sy + rows_per_strip].tobytes()))
 
-    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched below
-    data_start = len(header)
-    offsets, cursor = [], data_start
+    # chunk offsets are ABSOLUTE file offsets (TIFF requirement)
+    offsets, cursor = [], base
     for c in chunks:
         offsets.append(cursor)
         cursor += len(c)
-    ifd_offset = cursor + (cursor % 2)  # word-align IFD
+    ifd_offset = cursor + (cursor % 2)  # word-align IFD (absolute)
 
     extra: list[tuple[int, int, int, bytes]] = []
     entries: list[bytes] = []
@@ -153,12 +214,11 @@ def write_tiff(
     entries_sorted = sorted(entries, key=lambda e: struct.unpack("<H", e[:2])[0])
     ifd_head = struct.pack("<H", len(entries_sorted))
     ifd_body = b"".join(entries_sorted)
-    ifd_tail = struct.pack("<I", 0)  # no next IFD
+    ifd_tail = struct.pack("<I", 0)  # next-IFD pointer; patched by caller
     extra_start = ifd_offset + len(ifd_head) + len(ifd_body) + len(ifd_tail)
 
-    # patch spilled-value offsets in entry order of appearance
+    # patch spilled-value offsets (absolute) in entry order of appearance
     patched, extra_cursor, extra_blob = [], extra_start, b""
-    spill_iter = iter(extra)
     for e in entries_sorted:
         if e.endswith(b"OFF?"):
             tag, typ, count, payload = next(
@@ -169,13 +229,10 @@ def write_tiff(
             extra_cursor += len(payload)
         else:
             patched.append(e)
-    del spill_iter
 
-    with open(path, "wb") as f:
-        f.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
-        for c in chunks:
-            f.write(c)
-        if cursor % 2:
-            f.write(b"\x00")
-        f.write(ifd_head + b"".join(patched) + ifd_tail + extra_blob)
-    return path
+    blob = b"".join(chunks)
+    if cursor % 2:
+        blob += b"\x00"
+    next_ptr_pos_rel = (ifd_offset - base) + len(ifd_head) + len(ifd_body)
+    blob += ifd_head + b"".join(patched) + ifd_tail + extra_blob
+    return blob, ifd_offset - base, next_ptr_pos_rel

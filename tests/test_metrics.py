@@ -1,0 +1,77 @@
+"""partition_metrics (applyInPandas) + golden_compare + pyramid decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cog3pio_spark.operators.metrics import golden_compare, partition_metrics
+
+
+def test_partition_metrics_ranges(spark):
+    df = spark.range(1000).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    m = partition_metrics(df, key_col="k").collect()
+    assert sum(r["n_rows"] for r in m) == 1000
+    # range partitioning ⇒ per-partition key ranges are disjoint
+    spans = sorted((int(r["key_lo"]), int(r["key_hi"])) for r in m if r["n_rows"])
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+
+
+def test_golden_compare(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame([(2, "y"), (1, "x")], ["id", "v"])  # reordered
+    assert golden_compare(a, b)["match"]
+    c = spark.createDataFrame([(1, "x"), (3, "z")], ["id", "v"])
+    v = golden_compare(a, c)
+    assert not v["match"] and v["missing_rows"] == 1 and v["extra_rows"] == 1
+    d = spark.createDataFrame([(1,)], ["other"])
+    assert not golden_compare(a, d)["match"]
+
+
+class TestPyramid:
+    """COG overview chain (engine extension beyond first-IFD reference)."""
+
+    @pytest.fixture(scope="class")
+    def pyr_path(self, tmp_path_factory):
+        from cog3pio_spark.tiff.writer import write_tiff
+
+        rng = np.random.RandomState(1)
+        arr = (rng.rand(1, 64, 48) * 100).astype(np.float32)
+        p = str(tmp_path_factory.mktemp("pyr") / "pyr.tif")
+        write_tiff(p, arr, overviews=3, tiled=True, tile_size=16,
+                   compression="deflate", pixel_scale=(10.0, 10.0),
+                   tiepoint=(0, 0, 0, 500000.0, 5300000.0, 0))
+        return p, arr
+
+    def test_levels_decode(self, pyr_path):
+        from cog3pio_spark.tiff.reader import CogReader
+
+        p, arr = pyr_path
+        buf = open(p, "rb").read()
+        r = CogReader(buf)
+        assert r.num_images == 4
+        np.testing.assert_array_equal(r.to_numpy(), arr)
+        lvl1 = CogReader(buf, image_index=1)
+        np.testing.assert_array_equal(lvl1.to_numpy(), arr[:, ::2, ::2])
+        assert lvl1.transform().a == 20.0  # overview pixel scale doubles
+
+    def test_overview_pushdown_in_decode_operator(self, spark, pyr_path):
+        from cog3pio_spark.operators.decode import decode_tiles
+
+        p, arr = pyr_path
+        refs = spark.createDataFrame([("file://" + p,)], ["media_ref"])
+        full = decode_tiles(refs).collect()[0]
+        ov2 = decode_tiles(refs, overview=2).collect()[0]
+        assert (full["height"], full["width"]) == (64, 48)
+        assert (ov2["height"], ov2["width"]) == (16, 12)
+        ov9 = decode_tiles(refs, overview=9).collect()[0]  # clamps to deepest
+        assert ov9["height"] == 8
+
+    def test_index_out_of_range(self, pyr_path):
+        from cog3pio_spark.tiff.reader import CogReader, TiffDecodeError
+
+        p, _ = pyr_path
+        with pytest.raises(TiffDecodeError, match="out of range"):
+            CogReader(open(p, "rb").read(), image_index=4)

@@ -1,0 +1,30 @@
+"""Package cog3pio_spark into dist/cog3pio_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(HERE, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "cog3pio_spark.zip")
+    pkg = os.path.join(HERE, "cog3pio_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, HERE))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
