@@ -176,9 +176,18 @@ def generate_tile_farm(out_dir: str, n: int = 400, seed: int = 42) -> list[str]:
 
 
 def default_fixture_dir() -> str:
-    """Committed fixture location inside the repo."""
-    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "tests", "fixtures", "cogs")
+    """Fixture location: repo tests/fixtures/cogs when running from a
+    checkout; a writable scratch dir when the package is deployed as a zip
+    via spark-submit --py-files (COG3PIO_FIXTURE_DIR overrides)."""
+    env = os.environ.get("COG3PIO_FIXTURE_DIR")
+    if env:
+        return env
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(root):  # real checkout
+        return os.path.join(root, "tests", "fixtures", "cogs")
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "cog3pio_fixtures", "cogs")
 
 
 def ensure_fixtures(out_dir: str | None = None) -> list[dict]:

@@ -49,14 +49,18 @@ def make_polygon_rows(n: int = 16, seed: int = 42) -> list[tuple]:
     """
     rng = np.random.RandomState(seed)
     rows = []
+    # grid over the fixture extent [470k,630k]×[5.18M,5.42M] with jitter, so
+    # polygon coverage of tile centroids is dense; every 7th is disjoint
+    side = int(np.ceil(np.sqrt(n)))
     for i in range(n):
-        if i % 5 == 4:  # disjoint polygon, far from all tiles
+        if i % 7 == 6:  # disjoint polygon, far from all tiles
             cx, cy = 1_000_000.0 + i * 50_000.0, 4_000_000.0
         else:
-            cx = 480_000.0 + (i * 140_000.0 / max(1, n - 1))
-            cy = 5_190_000.0 + ((i * 7919) % n) * (220_000.0 / max(1, n))
+            gx, gy = i % side, i // side
+            cx = 470_000.0 + (gx + 0.5) * (160_000.0 / side) + float(rng.uniform(-9_000, 9_000))
+            cy = 5_180_000.0 + (gy + 0.5) * (240_000.0 / side) + float(rng.uniform(-9_000, 9_000))
         k = 3 + (i % 5)  # triangle..heptagon
-        radius = float(rng.uniform(15_000, 60_000))
+        radius = float(rng.uniform(18_000, 70_000))
         phase = float(rng.uniform(0, 2 * math.pi))
         ring = []
         for v in range(k):
