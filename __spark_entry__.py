@@ -543,6 +543,33 @@ def q34_span_invariant(spark, sf):
     )
 
 
+def q36_ivf_topk(spark, sf):
+    from cog3pio_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, dim=64, k=5, n_centroids=16, nprobe=4)
+
+
+def q37_docs_per_cell(spark, sf):
+    """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
+    rows-only: cell ids not SQL-expressible)."""
+    from cog3pio_spark.functions import cells as C
+
+    pts = _cust_points(spark, sf)
+    return (
+        pts.withColumn("cell4", C.s2_cell(F.col("lat"), F.col("lng"), 4))
+        .groupBy("cell4")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.approx_count_distinct("c_custkey").alias("n_custs"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+
+
 def q35_knn_exact_vs_ring(spark, sf):
     """Ring kNN vs brute force disagreement rows (rows-only; empty on
     clustered data where the ring covers the k-NN radius)."""
@@ -597,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_compact_cells": q33_compact_cells,
         "q34_span_invariant": q34_span_invariant,
         "q35_knn_exact_vs_ring": q35_knn_exact_vs_ring,
+        "q36_ivf_topk": q36_ivf_topk,
+        "q37_docs_per_cell": q37_docs_per_cell,
     }
 
 

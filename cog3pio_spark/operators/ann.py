@@ -149,6 +149,88 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 32,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 77,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini-KMeans on a fixed-size sample (driver-side numpy).
+
+    Centroid training is O(sample × dim × iters) — independent of table
+    size; the expensive part (assignment) stays distributed. Seeded init +
+    fixed iteration count ⇒ bit-reproducible across runs (resume/goldens).
+    """
+    rows = vectors.select(vec_col).limit(sample).collect()
+    mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(vec: F.Column, centroids: np.ndarray, nprobe: int = 1) -> F.Column:
+    """ARRAY<INT> of the ``nprobe`` nearest centroid ids (vectorized)."""
+    cents = centroids
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _a(vecs: pd.Series) -> pd.Series:
+        mat = _normalize(np.vstack(vecs.to_numpy()))
+        sims = mat @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _a(vec)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file partitioning by nearest centroid.
+
+    Scale shape: vectors are assigned to exactly 1 list (a one-pass narrow
+    stage, persistable as a partition layout); queries probe their nprobe
+    nearest lists, so each query scores ~nprobe/n_centroids of the corpus.
+    The join key is the int centroid id — an 8-byte shuffle key, and the
+    probe side is broadcast. Recall/cost is tuned by (n_centroids, nprobe).
+    """
+    cents = train_ivf_centroids(vectors, dim, n_centroids, vec_col=vec_col)
+    v = vectors.withColumn(
+        "ivf_list", F.element_at(ivf_assign(F.col(vec_col), cents, 1), 1)
+    )
+    q = queries.withColumn("ivf_list", F.explode(ivf_assign(F.col(vec_col), cents, nprobe)))
+
+    cosine = cosine_pairs_udf()
+    cand = F.broadcast(
+        q.select(query_id_col, "ivf_list", F.col(vec_col).alias("_qv"))
+    ).join(v.select(id_col, "ivf_list", vec_col), "ivf_list")
+    scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col(vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_dupes(
     vectors: DataFrame,
     dim: int,

@@ -1,0 +1,36 @@
+"""Committed golden DataFrames: recompute and two-way exceptAll compare
+(FIXTURES.md §4 comparison contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cog3pio_spark.operators.metrics import golden_compare
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tests", "golden")
+
+
+def _golden(spark, name):
+    path = os.path.join(GOLDEN_DIR, name + ".parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated (run tools/make_goldens.py)")
+    return spark.read.parquet(path)
+
+
+@pytest.mark.parametrize(
+    "name,builder",
+    [
+        ("tile_assignments", "build_tile_assignments"),
+        ("join_rows", "build_join_rows"),
+        ("knn_results", "build_knn_results"),
+    ],
+)
+def test_golden(spark, name, builder):
+    import tools.make_goldens as G
+
+    actual = getattr(G, builder)(spark)
+    verdict = golden_compare(actual, _golden(spark, name))
+    assert verdict["match"], verdict

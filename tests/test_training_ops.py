@@ -107,6 +107,38 @@ def test_lsh_topk_recall(spark):
     assert len(ids & {0, 1, 2, 3, 4}) >= 3  # high recall on planted dups
 
 
+def test_ivf_topk_recall(spark):
+    from cog3pio_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(13)
+    mat = rng.randn(400, 16)
+    qv = rng.randn(16)
+    for i in range(5):
+        mat[i] = qv + rng.randn(16) * 0.01  # planted near-dups
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(1, [float(x) for x in qv])], ["query_id", "embedding"])
+    got = ivf_topk(df, qdf, dim=16, k=5, n_centroids=16, nprobe=4)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids & {0, 1, 2, 3, 4}) >= 4  # planted dups share the query's list
+
+
+def test_doc_table_roundtrip(spark, tmp_path):
+    from cog3pio_spark.sources.doc_table import read_doc_table, write_doc_table
+
+    df = spark.range(100).selectExpr(
+        "cast(id as string) as doc_id",
+        "array(named_struct('kind','text','text','x','media_ref',"
+        "cast(null as string),'offset',0)) as spans",
+    )
+    loc = str(tmp_path / "docs.parquet")
+    write_doc_table(df, loc, n_buckets=4)
+    back = read_doc_table(spark, loc)
+    assert back.count() == 100
+    assert back.select("_bucket").distinct().count() == 4  # bucket layout exists
+
+
 def test_text_features_basics(spark):
     df = spark.createDataFrame(
         [

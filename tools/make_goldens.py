@@ -1,0 +1,106 @@
+"""Generate the committed golden DataFrames (FIXTURES.md §4, SURVEY M4).
+
+Goldens pin the engine's spatial semantics across refactors:
+  tile_assignments — one row per valid fixture tile: cells + band stats
+  join_rows        — (polygon × tile) PIP verdicts over the fixture layers
+  knn_results      — k=5 ring-kNN over clustered seed points
+
+Everything derives from seeded generators (seed 42), so regeneration is
+byte-stable; tests/test_goldens.py recomputes and golden_compares.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+GOLDEN_DIR = os.path.join(HERE, "tests", "golden")
+
+
+def build_tile_assignments(spark):
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.operators.assign import assign_cells
+    from cog3pio_spark.operators.decode import decode_tiles
+
+    rows = ensure_fixtures()
+    refs = spark.createDataFrame([(r["media_ref"],) for r in rows], ["media_ref"])
+    decoded = decode_tiles(refs.dropDuplicates(["media_ref"]))
+    tiles = assign_cells(decoded.filter(F.col("status") == "ok"))
+    return tiles.select(
+        # strip the machine-specific path prefix so goldens are portable
+        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        "dtype", "bands", "height", "width",
+        F.round("mean", 9).alias("mean"),
+        "pixel_sha256", "s2_cell", "hex_cells",
+        F.round("centroid_x", 6).alias("centroid_x"),
+        F.round("centroid_y", 6).alias("centroid_y"),
+    ).orderBy("tile")
+
+
+def build_join_rows(spark):
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.fixtures.polygons import polygons_df
+    from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+
+    rows = ensure_fixtures()
+    refs = spark.createDataFrame(
+        [(r["media_ref"],) for r in rows if r["valid"]], ["media_ref"]
+    )
+    out = fused_decode_assign_pip(refs, polygons_df(spark, 16))
+    return out.select(
+        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        "polygon_id", "s2_cell",
+        F.col("polygon_id").isNotNull().alias("contained"),
+    ).orderBy("tile", "polygon_id")
+
+
+def build_knn_results(spark):
+    import numpy as np
+
+    from cog3pio_spark.operators.knn import knn_join
+
+    rng = np.random.RandomState(21)
+    pts = np.stack(
+        [rng.normal(47.0, 0.08, 300), rng.normal(8.0, 0.08, 300)], axis=1
+    )
+    points = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        ["point_id", "lat", "lng"],
+    )
+    queries = spark.createDataFrame(
+        [(j, float(pts[j * 29][0]), float(pts[j * 29][1])) for j in range(10)],
+        ["query_id", "lat", "lng"],
+    )
+    from pyspark.sql import functions as F
+
+    return knn_join(queries, points, k=5, res=6, ring=2).select(
+        "query_id", "rank", "point_id", F.round("dist_m", 3).alias("dist_m")
+    ).orderBy("query_id", "rank")
+
+
+def main() -> None:
+    from cog3pio_spark.session import get_spark
+
+    spark = get_spark("make-goldens", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, builder in [
+        ("tile_assignments", build_tile_assignments),
+        ("join_rows", build_join_rows),
+        ("knn_results", build_knn_results),
+    ]:
+        df = builder(spark).coalesce(1)
+        path = os.path.join(GOLDEN_DIR, name + ".parquet")
+        df.write.mode("overwrite").parquet(path)
+        print(f"golden {name}: {spark.read.parquet(path).count()} rows → {path}")
+
+
+if __name__ == "__main__":
+    main()
