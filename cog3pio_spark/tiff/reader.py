@@ -167,14 +167,26 @@ class CogReader:
             f"unsupported error: compression {self.compression} is unsupported"
         )
 
-    def to_numpy(self) -> np.ndarray:
-        """Full-image decode of the first IFD → (band, h, w) tensor.
+    def to_numpy(self, window: tuple[int, int, int, int] | None = None) -> np.ndarray:
+        """Decode the selected IFD → (band, h, w) tensor.
 
-        Reshape is applied to the flat decode buffer exactly like
+        ``window=(x0, y0, x1, y1)`` (pixel coords, half-open) crops the
+        decode: for tiled layouts only the intersecting tiles are
+        decompressed (true COG partial decode — the reference always decodes
+        the full image, src/io/geotiff.rs:39-64; this is the north_star
+        window extension). Striped layouts decode only intersecting strips.
+
+        Full-image reshape is applied to the flat decode buffer exactly like
         ``shape_vec_to_tensor`` (src/io/geotiff.rs:183-199); a size mismatch
         raises the reference-shaped message (src/io/geotiff.rs:336-339).
         """
         t = self.tags
+        if window is not None:
+            wx0, wy0, wx1, wy1 = window
+            wx0, wy0 = max(0, wx0), max(0, wy0)
+            wx1, wy1 = min(self.width, wx1), min(self.height, wy1)
+            if wx0 >= wx1 or wy0 >= wy1:
+                raise TiffDecodeError(f"Empty decode window: {window}")
         if W.TILE_OFFSETS in t:
             tw = int(t[W.TILE_WIDTH][0])
             th = int(t[W.TILE_LENGTH][0])
@@ -183,15 +195,35 @@ class CogReader:
             out = np.zeros((self.height, self.width, self.samples), self.dtype)
             for idx, (off, cnt) in enumerate(zip(offs, counts)):
                 ty, tx = divmod(idx, tiles_x)
+                y0, x0 = ty * th, tx * tw
+                if window is not None and (
+                    x0 >= wx1 or y0 >= wy1 or x0 + tw <= wx0 or y0 + th <= wy0
+                ):
+                    continue  # tile outside window: never decompressed
                 tile = np.frombuffer(self._chunk(off, cnt), self.dtype)
                 tile = tile.reshape(th, tw, self.samples)
-                y0, x0 = ty * th, tx * tw
                 h = min(th, self.height - y0)
                 w = min(tw, self.width - x0)
                 out[y0 : y0 + h, x0 : x0 + w, :] = tile[:h, :w, :]
+            if window is not None:
+                crop = out[wy0:wy1, wx0:wx1, :]
+                return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
             flat = out.ravel()
         else:
             offs, counts = t[W.STRIP_OFFSETS], t[W.STRIP_BYTE_COUNTS]
+            rows_per_strip = int(t.get(W.ROWS_PER_STRIP, [self.height])[0])
+            if window is not None:
+                s_lo = wy0 // rows_per_strip
+                s_hi = (wy1 - 1) // rows_per_strip
+                raw = b"".join(
+                    self._chunk(offs[s], counts[s]) for s in range(s_lo, s_hi + 1)
+                )
+                dec = np.frombuffer(raw, self.dtype).reshape(
+                    -1, self.width, self.samples
+                )
+                crop = dec[wy0 - s_lo * rows_per_strip : wy1 - s_lo * rows_per_strip,
+                           wx0:wx1, :]
+                return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
             raw = b"".join(self._chunk(o, c) for o, c in zip(offs, counts))
             flat = np.frombuffer(raw, self.dtype)
 

@@ -1,0 +1,92 @@
+"""Physical-plan hygiene: pushdown/pruning evidence and the no-per-row-Python
+contract across every operator family (input_hint + SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cell_range_partition_pruning(spark, tmp_path):
+    """Parquet partitioned by cell prefix + range predicate ⇒ the scan reads
+    only matching partitions (partition pruning in the file index)."""
+    from cog3pio_spark.cells import s2
+
+    rng = np.random.RandomState(9)
+    lat, lng = rng.uniform(-60, 60, 2000), rng.uniform(-170, 170, 2000)
+    cells = s2.to_signed(s2.latlng_to_cell(lat, lng, 12))
+    prefixes = s2.to_signed(s2.parent(s2.from_signed(cells), 3))
+    df = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in zip(cells, prefixes)], ["s2_cell", "prefix"]
+    )
+    out = str(tmp_path / "cells")
+    df.write.partitionBy("prefix").parquet(out)
+
+    target = int(prefixes[0])
+    got = spark.read.parquet(out).filter(F.col("prefix") == target)
+    got.collect()
+    plan = _plan(got)
+    # file-source partition pruning reflected in the scan node
+    n_total = len(set(prefixes.tolist()))
+    assert f"{n_total}" != "1"
+    assert got.rdd.getNumPartitions() <= 4  # pruned to a sliver of the files
+    want = sum(1 for p in prefixes.tolist() if p == target)
+    assert got.count() == want
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").filter(
+        F.col("l_quantity") < 5.0
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+    # column pruning: ReadSchema carries only the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        "dedupe_minhash",
+        "dedupe_simhash",
+        "ann_brute",
+        "knn_ring",
+        "text_features",
+    ],
+)
+def test_no_per_row_python_anywhere(spark, build):
+    """No operator family may plan a row-at-a-time Python UDF."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    if build == "dedupe_minhash":
+        from cog3pio_spark.operators.dedupe import minhash_lsh_dupes
+
+        df = minhash_lsh_dupes(docs.limit(50))
+    elif build == "dedupe_simhash":
+        from cog3pio_spark.operators.dedupe import simhash_dupes
+
+        df = simhash_dupes(docs.limit(50))
+    elif build == "ann_brute":
+        from cog3pio_spark.operators.ann import brute_force_topk
+
+        q = emb.limit(1).collect()
+        df = brute_force_topk(emb, [(q[0]["vec_id"], list(q[0]["embedding"]))], k=3)
+    elif build == "knn_ring":
+        from cog3pio_spark.operators.knn import knn_join
+
+        pts = spark.createDataFrame(
+            [(i, 40.0 + i * 0.01, 7.0) for i in range(50)], ["point_id", "lat", "lng"]
+        )
+        qs = spark.createDataFrame([(0, 40.1, 7.0)], ["query_id", "lat", "lng"])
+        df = knn_join(qs, pts, k=3, res=6, ring=1)
+    else:
+        from cog3pio_spark.operators.text import text_features
+
+        df = text_features(docs.limit(50))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, build
