@@ -208,12 +208,16 @@ def cell_center_latlng(cell_id: np.ndarray):
     """Cell center lat/lng in degrees (leaf-center of the id's ij)."""
     cell_id = np.asarray(cell_id, dtype=np.uint64)
     lvl = level_of(cell_id)
-    # leaf id at the cell's center: range_min + (lsb>>1) ... use id's own ij
     face, i, j = to_face_ij(range_min(cell_id) | np.uint64(1))
-    # center of the cell at its level: offset half a cell
-    half = (np.uint64(1) << np.uint64(MAX_LEVEL)) >> (lvl.astype(np.uint64) + np.uint64(1))
-    si = (i.astype(np.float64) + half.astype(np.float64)) / float(1 << MAX_LEVEL)
-    tj = (j.astype(np.float64) + half.astype(np.float64)) / float(1 << MAX_LEVEL)
+    # range_min's leaf is the Hilbert ENTRY corner, which may be any of the
+    # cell's 4 ij-corners — mask down to the cell's grid base (all leaves in
+    # an S2 cell share the top `level` ij bits), then offset half a cell.
+    cell_span = (np.uint64(1) << np.uint64(MAX_LEVEL)) >> lvl.astype(np.uint64)
+    base_mask = ~(cell_span - np.uint64(1))
+    i_base = i.astype(np.uint64) & base_mask
+    j_base = j.astype(np.uint64) & base_mask
+    si = (i_base.astype(np.float64) + cell_span.astype(np.float64) * 0.5) / float(1 << MAX_LEVEL)
+    tj = (j_base.astype(np.float64) + cell_span.astype(np.float64) * 0.5) / float(1 << MAX_LEVEL)
     u, v = uv_from_st(si), uv_from_st(tj)
     one = np.ones_like(u)
     # unnormalized face_uv→xyz mapping (inverse of xyz_to_face_uv)

@@ -1,0 +1,78 @@
+"""Hypothesis property tests for the from-scratch kernels (SURVEY §5.2 —
+the reference has none; the engine adds them as a hardening layer)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cog3pio_spark.cells import h3x, s2
+
+lat_st = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False)
+lng_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+level_st = st.integers(min_value=1, max_value=29)
+res_st = st.integers(min_value=1, max_value=14)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat_st, lng_st, level_st)
+def test_s2_parent_contains_leaf(lat, lng, level):
+    leaf = s2.latlng_to_cell(np.array([lat]), np.array([lng]), 30)
+    p = s2.parent(leaf, level)
+    assert s2.range_min(p)[0] <= leaf[0] <= s2.range_max(p)[0]
+    assert int(s2.level_of(p)[0]) == level
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat_st, lng_st, level_st)
+def test_s2_center_reassigns_to_same_cell(lat, lng, level):
+    c = s2.latlng_to_cell(np.array([lat]), np.array([lng]), level)
+    clat, clng = s2.cell_center_latlng(c)
+    c2 = s2.latlng_to_cell(clat, clng, level)
+    assert c2[0] == c[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat_st, lng_st, res_st)
+def test_hex_children_partition(lat, lng, res):
+    c = h3x.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    ch = h3x.children(c)
+    assert ch.shape == (1, 7)
+    assert len(set(ch.ravel().tolist())) == 7
+    back = h3x.parent(ch.ravel())
+    assert np.all(back == c[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat_st, lng_st, res_st, st.integers(min_value=1, max_value=3))
+def test_hex_ring_distance_bound(lat, lng, res, k):
+    c = h3x.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    ring = h3x.k_ring(c, k)
+    assert ring.shape[1] == 3 * k * (k + 1) + 1
+    d = h3x.hex_distance(np.repeat(c, ring.shape[1]), ring.ravel())
+    assert d.max() <= k
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=2, max_value=40),
+    st.sampled_from(["uint8", "int16", "float32", "float64"]),
+    st.booleans(),
+    st.booleans(),
+)
+def test_tiff_roundtrip_any_shape(h, w, dtype, tiled, deflate):
+    import tempfile
+
+    from cog3pio_spark.tiff.reader import CogReader
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    rng = np.random.RandomState(h * 41 + w)
+    arr = (rng.rand(1, h, w) * 100).astype(dtype)
+    with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+        write_tiff(
+            f.name, arr, tiled=tiled, tile_size=16,
+            compression="deflate" if deflate else "none",
+        )
+        got = CogReader(open(f.name, "rb").read()).to_numpy()
+    np.testing.assert_array_equal(got, arr)
