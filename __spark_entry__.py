@@ -587,6 +587,12 @@ def q35_knn_exact_vs_ring(spark, sf):
     )
 
 
+def q38_curation(spark, sf):
+    from cog3pio_spark.plans.curation import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"), min_quality=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -626,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_knn_exact_vs_ring": q35_knn_exact_vs_ring,
         "q36_ivf_topk": q36_ivf_topk,
         "q37_docs_per_cell": q37_docs_per_cell,
+        "q38_curation": q38_curation,
     }
 
 
@@ -872,5 +879,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1995'
             INTERSECT
             SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
+        """,
+        "q38_curation": f"""
+            WITH feat AS (
+                SELECT doc_id, text,
+                       round(
+                         (CASE WHEN length(text) < 10 THEN 0.0 WHEN length(text) > 20000 THEN 0.3 ELSE 1.0 END) * 0.4
+                         + (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / greatest(length(text),1) > 0.3
+                                 THEN 0.2 ELSE 1.0 - length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / greatest(length(text),1) END) * 0.3
+                         + (CASE WHEN len(list_filter({_WORDS}, w -> w in {_STOPW})) > 0 THEN 1.0 ELSE 0.5 END) * 0.3
+                       , 6) AS quality,
+                       {_LANG_PRED} AS lang_pred,
+                       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS}) END AS n_tokens,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ), gated AS (SELECT * FROM feat WHERE quality >= 0.5),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM gated
+                ) WHERE rn = 1
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+                   CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
+                   MIN(doc_id) AS first_doc
+            FROM kept GROUP BY lang_pred
         """,
     }
