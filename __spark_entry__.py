@@ -439,12 +439,12 @@ def q30_hex_rollup(spark, sf):
 
     pts = _cust_points(spark, sf)
     cells = pts.select(
-        C.h3x_cell(F.col("lat"), F.col("lng"), 5).alias("res5"),
-        C.h3x_cell(F.col("lat"), F.col("lng"), 6).alias("res6"),
-        C.h3x_cell(F.col("lat"), F.col("lng"), 7).alias("res7"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 2).alias("res2"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 3).alias("res3"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 4).alias("res4"),
     )
     return (
-        cells.rollup("res5", "res6", "res7")
+        cells.rollup("res2", "res3", "res4")
         .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
         .filter(F.col("n") >= 2)
     )

@@ -92,7 +92,7 @@ def _decode_one(ref: str, include_pixels: bool, overview: int = 0) -> dict:
     the predicate-pushdown hook: a query that only needs coarse statistics
     decodes 4^k× fewer pixels."""
     # imports inside the worker function: keeps the closure import-light
-    from cog3pio_spark.tiff.reader import CogReader, TiffDecodeError, _path_to_bytes
+    from cog3pio_spark.tiff.reader import CogReader, _path_to_bytes
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
     row["media_ref"] = ref
@@ -102,7 +102,7 @@ def _decode_one(ref: str, include_pixels: bool, overview: int = 0) -> dict:
         level = min(overview, probe.num_images - 1)
         reader = CogReader(data, image_index=level) if level else probe
         arr = reader.to_numpy()
-    except (TiffDecodeError, FileNotFoundError, Exception) as exc:  # noqa: B014
+    except Exception as exc:  # error-channel row, reference-shaped message
         row["status"] = "error"
         row["error_msg"] = str(exc)
         return row
