@@ -587,6 +587,44 @@ def q35_knn_exact_vs_ring(spark, sf):
     )
 
 
+def q39_tile_covering(spark, sf):
+    """Per-tile compacted hex covering cell counts (rows-only)."""
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.operators.assign import tile_covering
+    from cog3pio_spark.operators.decode import decode_tiles
+
+    rows = ensure_fixtures()
+    refs = spark.createDataFrame(
+        [(r["media_ref"],) for r in rows if r["valid"]], ["media_ref"]
+    )
+    cov = tile_covering(decode_tiles(refs).filter(F.col("status") == "ok"))
+    return cov.select(
+        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        F.size("covering_cells").alias("n_cells"),
+    ).orderBy("tile")
+
+
+def q40_band_stats(spark, sf):
+    """Per-dtype band-mean aggregates across fixture tiles (rows-only;
+    cross-checks the decode UDF's vectorized band stats — SURVEY §2.B aggs)."""
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.operators.decode import decode_tiles
+
+    rows = ensure_fixtures()
+    refs = spark.createDataFrame(
+        [(r["media_ref"],) for r in rows if r["valid"]], ["media_ref"]
+    )
+    dec = decode_tiles(refs).filter(F.col("status") == "ok")
+    return (
+        dec.select("dtype", F.posexplode("band_means").alias("band", "band_mean"))
+        .groupBy("dtype", "band")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.round(F.sum(F.col("band_mean").cast(T.DecimalType(28, 10))).cast("double"), 6).alias("sum_band_mean"),
+        )
+    )
+
+
 def q38_curation(spark, sf):
     from cog3pio_spark.plans.curation import corpus_stats
 
@@ -633,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ivf_topk": q36_ivf_topk,
         "q37_docs_per_cell": q37_docs_per_cell,
         "q38_curation": q38_curation,
+        "q39_tile_covering": q39_tile_covering,
+        "q40_band_stats": q40_band_stats,
     }
 
 

@@ -207,6 +207,113 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     )
 
 
+def cover_bbox(
+    lat0: float, lng0: float, lat1: float, lng1: float, res: int, max_cells: int = 4096
+) -> np.ndarray:
+    """Hex cells whose centers fall inside the lat/lng bbox (single-face).
+
+    Enumeration: project the 4 bbox corners to fractional axial coords at
+    ``res``, enumerate the integer axial bounding box (lattice points of the
+    corner hull), then keep cells whose centers land inside the original
+    bbox. Exact for face-local bboxes (tiles are tiny vs a cube face); a
+    bbox spanning faces is clipped to the face of its center (documented
+    engine limitation, same family as ring truncation).
+    """
+    from cog3pio_spark.cells import s2 as _s2
+
+    corners_lat = np.array([lat0, lat0, lat1, lat1])
+    corners_lng = np.array([lng0, lng1, lng0, lng1])
+    x, y, z = _s2.latlng_to_xyz(corners_lat, corners_lng)
+    face, u, v = _s2.xyz_to_face_uv(x, y, z)
+    cface = face[0]
+    pt = np.stack([u, v]) / _RES0_SIZE
+    ax = _M[res] @ (_BASIS_INV @ pt)  # fractional axial of corners
+    q_lo, q_hi = int(np.floor(ax[0].min())) - 1, int(np.ceil(ax[0].max())) + 1
+    r_lo, r_hi = int(np.floor(ax[1].min())) - 1, int(np.ceil(ax[1].max())) + 1
+    if (q_hi - q_lo + 1) * (r_hi - r_lo + 1) > max_cells * 4:
+        raise ValueError(
+            f"bbox covering at res {res} exceeds {max_cells} cells; lower res"
+        )
+    qs, rs = np.meshgrid(np.arange(q_lo, q_hi + 1), np.arange(r_lo, r_hi + 1))
+    qs, rs = qs.ravel(), rs.ravel()
+    cells = _pack(
+        np.full(qs.shape, res, np.int64),
+        np.full(qs.shape, cface, np.int64),
+        qs.astype(np.int64),
+        rs.astype(np.int64),
+    )
+    # keep centers inside the bbox (in lat/lng space)
+    f, cu, cv = cell_center_uv(cells)
+    # face uv → xyz → latlng (reuse s2 face mapping)
+    one = np.ones_like(cu)
+    mapping = [
+        lambda u, v: (one, u, v),
+        lambda u, v: (-u, one, v),
+        lambda u, v: (-u, -v, one),
+        lambda u, v: (-one, -v, -u),
+        lambda u, v: (v, -one, -u),
+        lambda u, v: (v, u, -one),
+    ]
+    xs, ys, zs = mapping[int(cface)](cu, cv)
+    norm = np.sqrt(xs * xs + ys * ys + zs * zs)
+    clat = np.degrees(np.arcsin(zs / norm))
+    clng = np.degrees(np.arctan2(ys, xs))
+    keep = (
+        (clat >= min(lat0, lat1)) & (clat <= max(lat0, lat1))
+        & (clng >= min(lng0, lng1)) & (clng <= max(lng0, lng1))
+    )
+    return cells[keep]
+
+
+def compact_np(cells: np.ndarray, res_lo: int = 0) -> np.ndarray:
+    """Numpy compaction: 7 present siblings ⇒ parent, iterated to res_lo.
+
+    Exact (integer parent math); input must be a distinct single-res set.
+    DataFrame-scale compaction lives in operators/assign.py; this kernel is
+    for per-tile covering sets inside Arrow batches.
+    """
+    cells = np.unique(cells)
+    if cells.size == 0:
+        return cells
+    out: list[np.ndarray] = []
+    cur = cells
+    res = int(resolution(cur[:1])[0])
+    while res > res_lo and cur.size:
+        par = parent(cur)
+        uniq, counts = np.unique(par, return_counts=True)
+        full = uniq[counts == 7]
+        keep_mask = ~np.isin(par, full)
+        out.append(cur[keep_mask])
+        cur = full
+        res -= 1
+    out.append(cur)
+    return np.concatenate(out)
+
+
+def cover_bbox_compact(
+    lat0: float, lng0: float, lat1: float, lng1: float,
+    target_cells: int = 64, res_max: int = 12,
+) -> np.ndarray:
+    """Adaptive-resolution compacted covering of a bbox: pick the finest res
+    whose covering stays under ~2×target, then compact."""
+    chosen = None
+    for res in range(2, res_max + 1):
+        try:
+            cells = cover_bbox(lat0, lng0, lat1, lng1, res,
+                               max_cells=max(256, target_cells * 4))
+        except ValueError:
+            break
+        chosen = cells
+        if len(cells) >= target_cells:
+            break
+    if chosen is None or len(chosen) == 0:
+        # degenerate bbox: single cell at res_max of the center
+        return latlng_to_cell(
+            np.array([(lat0 + lat1) / 2]), np.array([(lng0 + lng1) / 2]), res_max
+        )
+    return compact_np(chosen)
+
+
 def hex_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Hex grid distance between same-face, same-res cells."""
     ra, fa, qa, rra = _unpack(a)

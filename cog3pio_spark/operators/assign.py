@@ -111,6 +111,49 @@ def uncompact_cells(cells: DataFrame, target_res: int, cell_col: str = "cell") -
     )
 
 
+def tile_covering(
+    tiles: DataFrame,
+    target_cells: int = 64,
+    x_col: str = "centroid_x",
+    y_col: str = "centroid_y",
+) -> DataFrame:
+    """Per-tile compacted hex covering of the tile's bbox (ARRAY<BIGINT>).
+
+    Input rows need affine + shape columns (a, e, c, f, width, height) from
+    the decode stage. The covering is adaptive-resolution + compacted
+    (north_star: 'H3 res 5-12 compacted' as cell *sets*, not centroid
+    chains), computed per tile inside Arrow batches.
+    """
+    from cog3pio_spark.functions.geo import EARTH_RADIUS_M
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover(
+        c: pd.Series, f: pd.Series, a: pd.Series, e: pd.Series,
+        w: pd.Series, hgt: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for ci, fi, ai, ei, wi, hi in zip(c, f, a, e, w, hgt):
+            if ci is None or ai is None:
+                out.append(None)
+                continue
+            x0, x1 = float(ci), float(ci) + float(ai) * int(wi)
+            y0, y1 = float(f_ := fi) + float(ei) * int(hi), float(f_)
+            lat0, lat1 = np.degrees(np.array([y0, y1]) / EARTH_RADIUS_M)
+            lng0, lng1 = np.degrees(np.array([x0, x1]) / EARTH_RADIUS_M)
+            cells = h3x.cover_bbox_compact(
+                min(lat0, lat1), min(lng0, lng1),
+                max(lat0, lat1), max(lng0, lng1), target_cells
+            )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return tiles.withColumn(
+        "covering_cells",
+        cover(F.col("c"), F.col("f"), F.col("a"), F.col("e"),
+              F.col("width"), F.col("height")),
+    )
+
+
 def range_partition_by_cell(
     df: DataFrame, n_partitions: int, cell_col: str = "s2_cell"
 ) -> DataFrame:

@@ -64,6 +64,59 @@ def available_now_ingest(
     q.awaitTermination()
 
 
+def first_seen_media_refs(
+    docs_stream: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Stateful streaming dedupe: emit each media_ref exactly once across
+    ALL micro-batches (custom stateful operator via applyInPandasWithState —
+    SURVEY §2.B UDF surface / task-brief streaming-state path).
+
+    State per media_ref: a seen flag + first-seen count. Unlike
+    dropDuplicates-in-stream (state grows unbounded with watermark quirks),
+    the handler owns its state shape and could evict by custom policy.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spans = (
+        docs_stream.select(F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select(F.col("span.media_ref").alias("media_ref"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("first_batch_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def handler(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())  # already emitted
+        state.update((n,))
+        yield pd.DataFrame({"media_ref": [key[0]], "first_batch_rows": [n]})
+
+    deduped = spans.groupBy("media_ref").applyInPandasWithState(
+        handler, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_media_counts(docs_stream: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window media-span counts (late data ≤ 1 window)."""
     spans = docs_stream.select(

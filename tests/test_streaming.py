@@ -20,6 +20,40 @@ def doc_files(spark, fixture_refs, tmp_path):
     return path, docs
 
 
+def test_stateful_first_seen_dedupe(spark, doc_files, tmp_path):
+    """applyInPandasWithState emits each media_ref exactly once, across
+    restarts (state persisted in the stream checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.streaming.ingest import first_seen_media_refs
+
+    input_dir, docs = doc_files
+    ckpt = str(tmp_path / "state_ckpt")
+    out = str(tmp_path / "state_out")
+
+    stream = (
+        spark.readStream.schema(docs.schema).format("parquet").load(input_dir)
+    )
+    first_seen_media_refs(stream, ckpt, out)
+    got = spark.read.parquet(out)
+    distinct_refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("s.media_ref")
+        .distinct()
+        .count()
+    )
+    assert got.count() == distinct_refs
+    assert got.select("media_ref").distinct().count() == distinct_refs
+
+    # restart with same checkpoint: nothing new to emit
+    stream2 = (
+        spark.readStream.schema(docs.schema).format("parquet").load(input_dir)
+    )
+    first_seen_media_refs(stream2, ckpt, out)
+    assert spark.read.parquet(out).count() == distinct_refs
+
+
 def test_available_now_drains_and_resumes(spark, doc_files, tmp_path):
     input_dir, docs = doc_files
     ckpt = str(tmp_path / "ckpt")
