@@ -587,6 +587,40 @@ def q35_knn_exact_vs_ring(spark, sf):
     )
 
 
+def q41_brand_revenue(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_size") <= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+def q42_supplier_balance(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    li = _t(spark, sf, "lineitem")
+    shipped = li.groupBy("l_suppkey").agg(F.count("*").alias("n_shipped"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+            F.sum(F.coalesce("n_shipped", F.lit(0))).alias("total_shipped"),
+        )
+    )
+
+
 def q39_tile_covering(spark, sf):
     """Per-tile compacted hex covering cell counts (rows-only)."""
     from cog3pio_spark.fixtures.cogs import ensure_fixtures
@@ -673,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_curation": q38_curation,
         "q39_tile_covering": q39_tile_covering,
         "q40_band_stats": q40_band_stats,
+        "q41_brand_revenue": q41_brand_revenue,
+        "q42_supplier_balance": q42_supplier_balance,
     }
 
 
@@ -919,6 +955,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1995'
             INTERSECT
             SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
+        """,
+        "q41_brand_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items,
+                   COUNT(DISTINCT p_partkey) AS n_parts
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 10
+            GROUP BY p_brand
+        """,
+        "q42_supplier_balance": """
+            WITH shipped AS (
+                SELECT l_suppkey, COUNT(*) AS n_shipped FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+                   SUM(COALESCE(n_shipped, 0)) AS total_shipped
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 LEFT JOIN shipped ON s_suppkey = l_suppkey
+            GROUP BY n_name
         """,
         "q38_curation": f"""
             WITH feat AS (

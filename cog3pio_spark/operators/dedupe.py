@@ -113,19 +113,33 @@ def minhash_lsh_dupes(
             )
         ).alias("band", "bucket"),
     )
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # Single-pass candidate generation: group each (band, bucket) and expand
+    # pairs inside the member array — a banded SELF-join would recompute the
+    # signature stage for both sides (no exchange reuse) and shuffle twice;
+    # this shape shuffles once and bucket sizes are bounded by construction
+    # (a hot bucket IS a near-dup cluster, which is the signal itself).
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + 2, F.size("ms")),
+                lambda y: F.when(x["id"] < y["id"], F.struct(x.alias("l"), y.alias("r")))
+                .otherwise(F.struct(y.alias("l"), x.alias("r"))),
+            ),
         )
+    )
+    pairs = (
+        members.select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.col("p.l.id").alias("id_a"),
+            F.col("p.r.id").alias("id_b"),
+            F.col("p.l.sig").alias("sig_a"),
+            F.col("p.r.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
