@@ -587,6 +587,21 @@ def q35_knn_exact_vs_ring(spark, sf):
     )
 
 
+def q43_knn_sort_merge(spark, sf):
+    """Curve-order sort-merge kNN fallback (rows-only, approximate path)."""
+    from cog3pio_spark.operators.knn import knn_sort_merge
+
+    pts = _cust_points(spark, sf)
+    queries = pts.filter(F.col("c_custkey") % 200 == 0).withColumnRenamed(
+        "c_custkey", "query_id"
+    )
+    points = pts.withColumnRenamed("c_custkey", "point_id")
+    out = knn_sort_merge(queries, points, k=3, scan_width=64)
+    return out.select(
+        "query_id", "rank", "point_id", F.round("dist_m", 0).cast("long").alias("dist_m_round")
+    )
+
+
 def q41_brand_revenue(spark, sf):
     p = _t(spark, sf, "part")
     li = _t(spark, sf, "lineitem")
@@ -709,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_band_stats": q40_band_stats,
         "q41_brand_revenue": q41_brand_revenue,
         "q42_supplier_balance": q42_supplier_balance,
+        "q43_knn_sort_merge": q43_knn_sort_merge,
     }
 
 

@@ -63,6 +63,78 @@ def knn_brute(
     )
 
 
+def knn_sort_merge(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    scan_width: int = 64,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Sort-merge kNN on the S2 Hilbert curve (SURVEY §2.B kNN fallback).
+
+    Queries and points are unioned, range-partitioned + sorted by leaf S2
+    id (Hilbert order ⇒ 1-D curve locality), then each query examines the
+    ``scan_width`` preceding/following points in curve order (lead/lag
+    window frame via collect over rowsBetween) and re-ranks by exact
+    haversine. Approximate: curve locality misses some true neighbors at
+    curve discontinuities; recall is tuned by scan_width. Use when the query
+    set is too large to broadcast and rings miss (sparse regions).
+    """
+    from cog3pio_spark.functions import cells as C
+
+    q = queries.select(
+        F.col(query_id).alias("_id"),
+        F.lit(True).alias("_is_q"),
+        "lat",
+        "lng",
+        C.s2_cell(F.col("lat"), F.col("lng"), 30).alias("_cell"),
+    )
+    p = points.select(
+        F.col(point_id).alias("_id"),
+        F.lit(False).alias("_is_q"),
+        "lat",
+        "lng",
+        C.s2_cell(F.col("lat"), F.col("lng"), 30).alias("_cell"),
+    )
+    both = q.unionByName(p)
+
+    # curve-order neighborhood: collect the ±scan_width rows around each row
+    w = Window.orderBy("_cell").rowsBetween(-scan_width, scan_width)
+    # NOTE: single global ordering window — at cluster scale replace with
+    # repartitionByRange(_cell) + per-partition windows and boundary overlap
+    # duplication; the semantics below are the per-partition kernel.
+    neigh = both.withColumn(
+        "_nbrs",
+        F.collect_list(
+            F.when(~F.col("_is_q"), F.struct("_id", "lat", "lng"))
+        ).over(w),
+    ).filter(F.col("_is_q"))
+
+    cand = neigh.select(
+        F.col("_id").alias(query_id),
+        F.col("lat").alias("q_lat"),
+        F.col("lng").alias("q_lng"),
+        F.explode("_nbrs").alias("n"),
+    ).select(
+        query_id,
+        "q_lat",
+        "q_lng",
+        F.col("n._id").alias(point_id),
+        F.col("n.lat").alias("p_lat"),
+        F.col("n.lng").alias("p_lng"),
+    )
+    dist = cand.withColumn(
+        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
+    )
+    wr = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", point_id, "dist_m")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,

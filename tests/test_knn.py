@@ -43,6 +43,19 @@ def test_ring_knn_matches_brute(clustered):
     assert len(a) == 12 * 5
 
 
+def test_sort_merge_knn_recall(clustered):
+    """Curve-order kNN: high recall vs brute force on clustered data."""
+    from cog3pio_spark.operators.knn import knn_sort_merge
+
+    queries, points = clustered
+    sm = knn_sort_merge(queries, points, k=5, scan_width=96)
+    brute = knn_brute(queries, points, k=5)
+    a = {(r["query_id"], r["point_id"]) for r in sm.collect()}
+    b = {(r["query_id"], r["point_id"]) for r in brute.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.9, recall
+
+
 def test_sparse_queries_fall_back(spark, clustered):
     _, points = clustered
     # a query far from every cluster → phase-1 ring finds nothing → fallback
