@@ -18,6 +18,8 @@ Used with points = tile centroids and queries = arbitrary lat/lng rows.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,6 +137,44 @@ def knn_sort_merge(
     )
 
 
+def ring_exactness_bound(cell, ring: int):
+    """Per-cell lower bound (meters) on the distance from any point in the
+    cell to any point OUTSIDE its k-ring coverage.
+
+    Derivation: a point outside the ring lies in a cell at hex distance
+    ≥ ring+1; center-to-center distance ≥ (ring+1)·d_min where d_min is the
+    min neighbor-center spacing around the cell; subtract both cells'
+    circumradii (≤ 0.7·d_max for near-regular hexes). Conservative — a
+    certified-exact result is therefore ALWAYS exact (tested), at the cost
+    of some exact results going uncertified near face edges.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from cog3pio_spark.cells import h3x
+
+    @pandas_udf(T.DoubleType())
+    def _bound(cells: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(np.int64)
+        ring1 = h3x.k_ring(arr, 1)  # (n, 7): self + 6 neighbours
+        n = arr.shape[0]
+        all_cells = ring1.ravel()
+        face, u, v = h3x.cell_center_uv(all_cells)
+        # gnomonic (u,v) → unit sphere chord ≈ arc for small cells
+        norm = np.sqrt(1.0 + u * u + v * v)
+        # face-local 3D coords (face axes differ but within one ring the
+        # face is constant, so pairwise angles are valid)
+        x, y, z = 1.0 / norm, u / norm, v / norm
+        xyz = np.stack([x, y, z], axis=1).reshape(n, 7, 3)
+        center = xyz[:, :1, :]
+        cosang = np.clip((xyz[:, 1:, :] * center).sum(axis=2), -1, 1)
+        d = np.arccos(cosang) * EARTH_RADIUS_M  # (n, 6) neighbour distances
+        d_min, d_max = d.min(axis=1), d.max(axis=1)
+        return pd.Series(np.maximum(0.0, (1 + ring) * d_min - 1.4 * d_max))
+
+    return _bound(cell)
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
@@ -144,16 +184,19 @@ def knn_join(
     query_id: str = "query_id",
     point_id: str = "point_id",
     broadcast_queries: bool = True,
+    with_certificate: bool = False,
 ) -> DataFrame:
     """k nearest ``points`` for each query row.
 
     queries: (query_id, lat, lng); points: (point_id, lat, lng).
-    Returns (query_id, rank, point_id, dist_m).
+    Returns (query_id, rank, point_id, dist_m[, exact]).
 
     Exactness contract: results are exact when the true k-th neighbour lies
-    inside the k-ring coverage (≈ ring × res inradius); queries that find
-    fewer than k candidates fall back to brute force and are always exact.
-    tests/test_knn.py pins ring-vs-brute equality on clustered data.
+    inside the k-ring coverage; queries that find fewer than k candidates
+    fall back to brute force and are always exact. With
+    ``with_certificate=True`` every row carries a provable ``exact`` flag
+    (conservative bound from ring_exactness_bound — certified ⇒ truly
+    exact; tests pin no-false-certificates against brute force).
     """
     q = queries.select(
         query_id,
@@ -200,4 +243,26 @@ def knn_join(
         .select(query_id, "rank", point_id, "dist_m")
     )
     covered = ranked.join(short.select(query_id), query_id, "left_anti")
-    return covered.unionByName(brute)
+    out = covered.unionByName(brute)
+
+    if not with_certificate:
+        return out
+    # Exactness certificate: brute-forced queries are exact by construction;
+    # ring-served queries are exact when their k-th distance is provably
+    # inside the ring coverage (ring_exactness_bound). Conservative: a
+    # certified row is always truly exact (tests pin this).
+    bounds = q.select(query_id, ring_exactness_bound(F.col("q_cell"), ring).alias("_bound"))
+    brute_ids = short.select(query_id).withColumn("_brute", F.lit(True))
+    kth = out.groupBy(query_id).agg(F.max("dist_m").alias("_kth"))
+    cert = (
+        out.join(bounds, query_id)
+        .join(kth, query_id)
+        .join(brute_ids, query_id, "left")
+        .withColumn(
+            "exact",
+            F.coalesce(F.col("_brute"), F.lit(False))
+            | (F.col("_kth") <= F.col("_bound")),
+        )
+        .select(query_id, "rank", point_id, "dist_m", "exact")
+    )
+    return cert

@@ -43,6 +43,27 @@ def test_ring_knn_matches_brute(clustered):
     assert len(a) == 12 * 5
 
 
+def test_exactness_certificate_is_sound(spark, clustered):
+    """Certified-exact queries must match brute force (no false positives);
+    clustered data should certify most queries."""
+    queries, points = clustered
+    cert = knn_join(queries, points, k=5, res=6, ring=2, with_certificate=True)
+    rows = cert.collect()
+    brute = {
+        (r["query_id"], r["rank"]): r["point_id"]
+        for r in knn_brute(queries, points, k=5).collect()
+    }
+    certified = [r for r in rows if r["exact"]]
+    assert certified, "no query certified on dense clustered data"
+    for r in certified:
+        assert brute[(r["query_id"], r["rank"])] == r["point_id"]
+    # adversarial: far-away query in an empty region → brute fallback path,
+    # still certified (exact by construction)
+    far = spark.createDataFrame([(999, -40.0, 100.0)], ["query_id", "lat", "lng"])
+    fr = knn_join(far, points, k=2, res=6, ring=1, with_certificate=True).collect()
+    assert all(r["exact"] for r in fr)
+
+
 def test_sort_merge_knn_recall(clustered):
     """Curve-order kNN: high recall vs brute force on clustered data."""
     from cog3pio_spark.operators.knn import knn_sort_merge

@@ -131,6 +131,36 @@ def test_cell_range_join(spark):
     assert a == b and len(a) > 0
 
 
+def test_checkpoint_partial_write_recovery(spark, tmp_path):
+    """A crash after data files land but BEFORE the manifest row commits
+    must re-run that key idempotently (dynamic partition overwrite)."""
+    import os
+
+    from cog3pio_spark.operators.checkpoint import (
+        data_path,
+        read_checkpointed,
+        write_checkpointed,
+    )
+
+    base = str(tmp_path / "ckpt2")
+    df = spark.range(50).select((F.col("id") % 5).alias("part_key"), F.col("id").alias("v"))
+    write_checkpointed(df, base)
+
+    # simulate a crashed job: partial data for key 7 exists, no manifest row
+    crash_dir = os.path.join(data_path(base), "part_key=7")
+    spark.range(3).select((F.col("id") + 900).alias("v")).write.parquet(crash_dir)
+    assert spark.read.parquet(data_path(base)).filter(F.col("part_key") == 7).count() == 3
+
+    df2 = spark.range(100, 140).select(
+        (F.lit(7)).alias("part_key"), F.col("id").alias("v")
+    )
+    r = write_checkpointed(df2, base)
+    assert r["written_keys"] == 1 and r["skipped_keys"] == 5
+    got = read_checkpointed(spark, base).filter(F.col("part_key") == 7)
+    vals = {row["v"] for row in got.collect()}
+    assert vals == set(range(100, 140))  # garbage partial rows replaced
+
+
 def test_checkpoint_resume(spark, tmp_path):
     from cog3pio_spark.operators.checkpoint import (
         read_checkpointed,
