@@ -30,11 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+GRID_THRESHOLD = 256  # dense bbox mask below, grid index above
+
+
 def pack_polygons(polygons: DataFrame) -> dict:
     """Collect + pack the polygon layer into flat numpy arrays (driver-side).
 
     Pack layout: ids list, ring vertex arrays (concatenated) + offsets, bbox
-    arrays — a serialized 'STRtree-lite' suitable for a Spark broadcast.
+    arrays, and — for layers above GRID_THRESHOLD polygons — a uniform grid
+    index in CSR form (cell → candidate polygon ids), the vectorized
+    equivalent of an STRtree level. Suitable for a Spark broadcast.
     """
     rows = polygons.select("polygon_id", "ring", "bbox").collect()
     ids, xs, ys, offs = [], [], [], [0]
@@ -49,7 +54,7 @@ def pack_polygons(polygons: DataFrame) -> dict:
         bymin.append(r["bbox"]["ymin"])
         bxmax.append(r["bbox"]["xmax"])
         bymax.append(r["bbox"]["ymax"])
-    return {
+    pack = {
         "ids": np.array(ids),
         "x": np.array(xs, np.float64),
         "y": np.array(ys, np.float64),
@@ -59,18 +64,90 @@ def pack_polygons(polygons: DataFrame) -> dict:
         "bxmax": np.array(bxmax, np.float64),
         "bymax": np.array(bymax, np.float64),
     }
+    n = len(ids)
+    if n > GRID_THRESHOLD:
+        pack.update(_build_grid(pack, n))
+    return pack
 
 
-def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
-    """Return (point_idx, poly_idx) pairs passing bbox + exact convex PIP."""
-    # bbox mask: (n_points, n_polys) — vectorized sweep
+def _build_grid(pack: dict, n_polys: int) -> dict:
+    """Uniform grid over the layer extent; each polygon registered in every
+    grid cell its bbox overlaps. CSR: cell_start[c]..cell_start[c+1] →
+    grid_polys entries."""
+    gx = gy = max(8, int(np.sqrt(n_polys)))
+    x0 = pack["bxmin"].min()
+    y0 = pack["bymin"].min()
+    x1 = pack["bxmax"].max()
+    y1 = pack["bymax"].max()
+    sx = (x1 - x0) / gx or 1.0
+    sy = (y1 - y0) / gy or 1.0
+    cx0 = np.clip(((pack["bxmin"] - x0) / sx).astype(np.int64), 0, gx - 1)
+    cx1 = np.clip(((pack["bxmax"] - x0) / sx).astype(np.int64), 0, gx - 1)
+    cy0 = np.clip(((pack["bymin"] - y0) / sy).astype(np.int64), 0, gy - 1)
+    cy1 = np.clip(((pack["bymax"] - y0) / sy).astype(np.int64), 0, gy - 1)
+    cells, polys = [], []
+    for p in range(n_polys):
+        gxs = np.arange(cx0[p], cx1[p] + 1)
+        gys = np.arange(cy0[p], cy1[p] + 1)
+        cc = (gxs[:, None] * gy + gys[None, :]).ravel()
+        cells.append(cc)
+        polys.append(np.full(cc.shape, p, np.int64))
+    cells = np.concatenate(cells)
+    polys = np.concatenate(polys)
+    order = np.argsort(cells, kind="stable")
+    cells, polys = cells[order], polys[order]
+    cell_start = np.zeros(gx * gy + 1, np.int64)
+    np.add.at(cell_start, cells + 1, 1)
+    cell_start = np.cumsum(cell_start)
+    return {
+        "grid": (gx, gy, x0, y0, sx, sy),
+        "grid_polys": polys,
+        "grid_start": cell_start,
+    }
+
+
+def _bbox_pairs_dense(px, py, pack):
     m = (
         (px[:, None] >= pack["bxmin"][None, :])
         & (px[:, None] <= pack["bxmax"][None, :])
         & (py[:, None] >= pack["bymin"][None, :])
         & (py[:, None] <= pack["bymax"][None, :])
     )
-    pt_idx, pg_idx = np.nonzero(m)
+    return np.nonzero(m)
+
+
+def _bbox_pairs_grid(px, py, pack):
+    """Grid-index candidate generation: O(points × avg bucket) instead of
+    O(points × polys). Ragged CSR gather fully vectorized (repeat + cumsum)."""
+    gx, gy, x0, y0, sx, sy = pack["grid"]
+    cx = ((px - x0) / sx).astype(np.int64)
+    cy = ((py - y0) / sy).astype(np.int64)
+    inside = (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy) & np.isfinite(px)
+    pt = np.nonzero(inside)[0]
+    cell = cx[pt] * gy + cy[pt]
+    start = pack["grid_start"][cell]
+    cnt = pack["grid_start"][cell + 1] - start
+    if cnt.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pt_idx = np.repeat(pt, cnt)
+    # expand ragged ranges [start, start+cnt): cumsum offset trick
+    flat = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(start, cnt)
+    pg_idx = pack["grid_polys"][flat]
+    keep = (
+        (px[pt_idx] >= pack["bxmin"][pg_idx])
+        & (px[pt_idx] <= pack["bxmax"][pg_idx])
+        & (py[pt_idx] >= pack["bymin"][pg_idx])
+        & (py[pt_idx] <= pack["bymax"][pg_idx])
+    )
+    return pt_idx[keep], pg_idx[keep]
+
+
+def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
+    """Return (point_idx, poly_idx) pairs passing bbox + exact convex PIP."""
+    if "grid" in pack:
+        pt_idx, pg_idx = _bbox_pairs_grid(px, py, pack)
+    else:
+        pt_idx, pg_idx = _bbox_pairs_dense(px, py, pack)
     if len(pt_idx) == 0:
         return pt_idx, pg_idx
     keep = np.zeros(len(pt_idx), dtype=bool)
