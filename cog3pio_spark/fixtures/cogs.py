@@ -60,11 +60,12 @@ def generate_fixtures(out_dir: str) -> list[dict]:
             "expected_mean": float(np.asarray(arr, dtype=np.float64).mean())
             if arr is not None
             else 0.0,
-            # sha of the DECODED tensor bytes: reference-parity decode
-            # reshapes the chunky buffer directly to (band,h,w), so the
-            # golden pins that layout (SURVEY §1.2 caveat).
+            # sha of the DECODED tensor bytes — band-major (the engine
+            # de-interleaves chunky data; SURVEY §1.2: the reference asserts
+            # only shape + order-insensitive mean for multiband, so the
+            # engine pins the true per-band layout).
             "pixel_sha256": hashlib.sha256(
-                np.ascontiguousarray(np.moveaxis(arr, 0, -1)).tobytes()
+                np.ascontiguousarray(arr).tobytes()
             ).hexdigest()
             if arr is not None
             else "",

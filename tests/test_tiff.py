@@ -145,6 +145,5 @@ def test_deflate_and_tiled_roundtrip(tmp_path):
             write_tiff(p, arr, tiled=tiled, compression=comp)
             got = CogReader(open(p, "rb").read()).to_numpy()
             assert got.shape == (2, 37, 23)
-            # decoded layout = chunky reshape; compare via that layout
-            expect = np.moveaxis(arr, 0, -1).ravel().reshape(2, 37, 23)
-            np.testing.assert_array_equal(got, expect)
+            # engine de-interleaves chunky data to true band-major
+            np.testing.assert_array_equal(got, arr)
