@@ -151,19 +151,38 @@ def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
     if len(pt_idx) == 0:
         return pt_idx, pg_idx
     keep = np.zeros(len(pt_idx), dtype=bool)
-    # exact test grouped by polygon (few polygons ⇒ few iterations,
-    # each fully vectorized over that polygon's candidate points)
+    # exact test grouped by polygon (each group fully vectorized over that
+    # polygon's candidate points). Even-odd ray casting handles arbitrary
+    # simple rings (convex or not; holes out of scope v1); points exactly on
+    # an edge or vertex count as contained (pinned by boundary fixtures).
     for pg in np.unique(pg_idx):
         sel = pg_idx == pg
         cx, cy = px[pt_idx[sel]], py[pt_idx[sel]]
         s, e = pack["offs"][pg], pack["offs"][pg + 1]
         vx, vy = pack["x"][s:e], pack["y"][s:e]
-        # ring is closed: edges (v[i], v[i+1]); CCW ⇒ inside = all cross ≥ 0
-        ex, ey = np.diff(vx), np.diff(vy)
-        cross = ex[None, :] * (cy[:, None] - vy[None, :-1]) - ey[None, :] * (
-            cx[:, None] - vx[None, :-1]
+        x1, y1 = vx[:-1][None, :], vy[:-1][None, :]
+        x2, y2 = vx[1:][None, :], vy[1:][None, :]
+        pxs, pys = cx[:, None], cy[:, None]
+        # crossing test: edge straddles the horizontal ray, intersection
+        # strictly right of the point
+        straddle = (y1 > pys) != (y2 > pys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (pys - y1) * (x2 - x1) / (y2 - y1)
+        crossings = (straddle & (pxs < xint)).sum(axis=1)
+        inside = (crossings % 2) == 1
+        # inclusive boundary: |cross product| ~ 0 and within edge bbox
+        ex, ey = x2 - x1, y2 - y1
+        crossp = ex * (pys - y1) - ey * (pxs - x1)
+        seg_len2 = ex * ex + ey * ey + 1e-300
+        dist2 = crossp * crossp / seg_len2
+        inseg = (
+            (pxs >= np.minimum(x1, x2) - 1e-9)
+            & (pxs <= np.maximum(x1, x2) + 1e-9)
+            & (pys >= np.minimum(y1, y2) - 1e-9)
+            & (pys <= np.maximum(y1, y2) + 1e-9)
         )
-        keep[sel] = np.all(cross >= 0.0, axis=1)
+        on_edge = ((dist2 < 1e-18 * np.maximum(seg_len2, 1.0)) & inseg).any(axis=1)
+        keep[sel] = inside | on_edge
     return pt_idx[keep], pg_idx[keep]
 
 

@@ -102,6 +102,40 @@ def test_pip_join_boundary_cases(spark):
     assert got == {"inside", "edge", "corner"}
 
 
+def test_pip_join_nonconvex_star(spark):
+    """Even-odd ray casting: non-convex star ring, concavities excluded."""
+    import math
+
+    from cog3pio_spark.fixtures.polygons import polygon_schema
+
+    ring = []
+    for i in range(10):
+        r = 10.0 if i % 2 == 0 else 4.0
+        a = 2 * math.pi * i / 10
+        ring.append((r * math.cos(a), r * math.sin(a)))
+    ring.append(ring[0])
+    xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+    poly = spark.createDataFrame(
+        [("star", [{"x": x, "y": y} for x, y in ring],
+          {"xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys)})],
+        polygon_schema(),
+    )
+    pts = spark.createDataFrame(
+        [
+            ("center", 0.0, 0.0),              # inside
+            ("spike", 9.0, 0.0),               # inside a spike
+            ("concave", 6.0 * math.cos(math.pi / 10) + 0.8, 6.0 * math.sin(math.pi / 10) + 0.8),
+            ("outside", 11.0, 11.0),
+        ],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    from cog3pio_spark.operators.pip_join import pip_join
+
+    got = {r["pid"] for r in pip_join(pts, poly).collect()}
+    assert "center" in got and "spike" in got and "outside" not in got
+    assert "concave" not in got  # point in the bbox but in a concavity
+
+
 def test_cell_range_join(spark):
     """Range join matches a plain theta join on the same data."""
     from cog3pio_spark.cells import s2
