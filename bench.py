@@ -39,8 +39,14 @@ BENCH_QUERIES = [
     "q17_ann_topk",
     "q19_pip_boxes",
     "q20_knn",
+    "q21_knn_ring",
+    "q22_cell_assignment",
     "q23_minhash_dupes",
     "q24_simhash_dupes",
+    "q31_cell_range_join",
+    "q36_ivf_topk",
+    "q38_curation",
+    "q39_tile_covering",
 ]
 
 

@@ -243,6 +243,30 @@ def cell_center_latlng(cell_id: np.ndarray):
     return lat, lng
 
 
+def compact_np(cell_ids: np.ndarray) -> np.ndarray:
+    """S2 compaction: 4 present siblings ⇒ parent, iterated to level 0.
+
+    Input: distinct cell ids (any mix of levels). Exact bit math — a cell's
+    4 children at level l+1 share the parent id, so grouping by parent and
+    counting 4 is sufficient. Used to shrink coverings before range joins
+    (fewer [range_min, range_max] build rows)."""
+    cur = np.unique(np.asarray(cell_ids, dtype=np.uint64))
+    out: list[np.ndarray] = []
+    for lvl in range(MAX_LEVEL, 0, -1):
+        levels = level_of(cur)
+        at = cur[levels == lvl]
+        rest = cur[levels != lvl]
+        if at.size == 0:
+            continue
+        par = parent(at, lvl - 1)
+        uniq, counts = np.unique(par, return_counts=True)
+        full = uniq[counts == 4]
+        out.append(at[~np.isin(par, full)])
+        cur = np.unique(np.concatenate([rest, full])) if full.size else rest
+    out.append(cur)  # level-0 leftovers
+    return np.concatenate(out)
+
+
 def to_signed(cell_id: np.ndarray) -> np.ndarray:
     """uint64 id → int64 bit pattern (Spark LongType carrier)."""
     return np.asarray(cell_id, dtype=np.uint64).view(np.int64)

@@ -87,6 +87,23 @@ class TestHex:
             assert np.all(h3x.resolution(c) == res)
 
 
+class TestS2Compaction:
+    def test_full_sibling_sets_promote(self):
+        p10 = np.unique(s2.parent(s2.latlng_to_cell(LAT[:30], LNG[:30], 30), 10))
+        lsb = p10 & (~p10 + np.uint64(1))
+        q = lsb >> np.uint64(2)
+        base = p10 - lsb + q
+        kids = np.stack([base + np.uint64(2 * i) * q for i in range(4)], 1).ravel()
+        assert np.all(s2.level_of(kids) == 11)
+        comp = s2.compact_np(kids)
+        assert set(comp.tolist()) == set(p10.tolist())  # fully promoted
+
+    def test_partial_sets_kept(self):
+        c = s2.latlng_to_cell(LAT[:50], LNG[:50], 12)  # scattered: no full sets
+        comp = s2.compact_np(c)
+        assert set(comp.tolist()) == set(np.unique(c).tolist())
+
+
 class TestCompactionNumpy:
     """compact/uncompact round-trip at the numpy level (DataFrame op in
     tests/test_operators.py)."""

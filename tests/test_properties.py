@@ -53,6 +53,53 @@ def test_hex_ring_distance_bound(lat, lng, res, k):
     assert d.max() <= k
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=12),
+    st.integers(min_value=0, max_value=10_000),
+    st.floats(min_value=0.2, max_value=1.0),
+)
+def test_pip_raycast_matches_scalar_oracle(k, seed, spike):
+    """Vectorized even-odd PIP ≡ independent scalar implementation, on
+    random (possibly non-convex) star rings and random points."""
+    from cog3pio_spark.operators.pip_join import _pip_candidates
+
+    rng = np.random.RandomState(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 2 * k))
+    rad = np.where(np.arange(2 * k) % 2 == 0, 10.0, 10.0 * spike)
+    ring = list(zip(rad * np.cos(ang), rad * np.sin(ang)))
+    ring.append(ring[0])
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    pack = {
+        "ids": np.array(["r"]), "x": np.array(xs), "y": np.array(ys),
+        "offs": np.array([0, len(xs)]),
+        "bxmin": np.array([min(xs)]), "bymin": np.array([min(ys)]),
+        "bxmax": np.array([max(xs)]), "bymax": np.array([max(ys)]),
+    }
+    px = rng.uniform(-11, 11, 300)
+    py = rng.uniform(-11, 11, 300)
+    pt, _ = _pip_candidates(px, py, pack)
+    got = set(pt.tolist())
+
+    def oracle(x, y):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            cr = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if (
+                abs(cr) < 1e-9
+                and min(x1, x2) - 1e-9 <= x <= max(x1, x2) + 1e-9
+                and min(y1, y2) - 1e-9 <= y <= max(y1, y2) + 1e-9
+            ):
+                return True
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    want = {i for i in range(300) if oracle(px[i], py[i])}
+    assert got == want
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.integers(min_value=2, max_value=40),
