@@ -393,6 +393,8 @@ def q25_decode_tiles(spark, sf):
     return decode_tiles(refs.dropDuplicates(["media_ref"])).select(
         "media_ref", "status", "dtype", "bands", "height", "width",
         F.round("mean", 6).alias("mean_r"), "pixel_sha256",
+        # error taxonomy channel (reference-shaped messages, adapters.rs:147-162)
+        F.substring(F.coalesce("error_msg", F.lit("")), 1, 40).alias("error_kind"),
     )
 
 
