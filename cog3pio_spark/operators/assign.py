@@ -97,12 +97,19 @@ def uncompact_cells(cells: DataFrame, target_res: int, cell_col: str = "cell") -
     def expand(c: pd.Series) -> pd.Series:
         arr = c.to_numpy(np.int64)
         res = h3x.resolution(arr)
-        out = []
-        for cell, r in zip(arr.tolist(), res.tolist()):
-            cur = np.array([cell], dtype=np.int64)
+        out: list = [None] * len(arr)
+        # vectorized per resolution group: expand all same-res cells together
+        for r in np.unique(res):
+            idx = np.nonzero(res == r)[0]
+            cur = arr[idx]  # (n,)
+            width = 1
             for _ in range(int(target_res) - int(r)):
-                cur = h3x.children(cur).ravel()
-            out.append(cur)
+                cur = h3x.children(cur.ravel()).reshape(len(idx), -1)
+                width *= 7
+                cur = cur.reshape(len(idx), width)
+            cur = cur.reshape(len(idx), -1)
+            for j, i in enumerate(idx.tolist()):
+                out[i] = cur[j]
         return pd.Series(out)
 
     return (

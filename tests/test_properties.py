@@ -100,6 +100,38 @@ def test_pip_raycast_matches_scalar_oracle(k, seed, spike):
     assert got == want
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.floats(min_value=0.1, max_value=0.95))
+def test_minhash_estimates_true_jaccard(seed, overlap):
+    """Signature-agreement rate ≈ true shingle Jaccard (±0.2 with 64 hashes)."""
+    import pandas as pd
+
+    from cog3pio_spark.operators.dedupe import _shingle_hashes
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{rng.randint(0, 5000):04d}" for _ in range(300)]
+    n_shared = int(len(words) * overlap)
+    a = " ".join(words)
+    b = " ".join(words[:n_shared] + [f"x{rng.randint(0, 5000):04d}" for _ in range(300 - n_shared)])
+
+    sh = _shingle_hashes(pd.Series([a, b]), 5)
+    inter = np.intersect1d(sh[0], sh[1]).size
+    union = np.union1d(sh[0], sh[1]).size
+    true_j = inter / union
+
+    P = np.uint64((1 << 61) - 1)
+    r2 = np.random.RandomState(1234)
+    A = r2.randint(1, 1 << 31, size=64).astype(np.uint64)
+    B = r2.randint(0, 1 << 31, size=64).astype(np.uint64)
+    sigs = []
+    for s in sh:
+        with np.errstate(over="ignore"):
+            hv = (s[:, None] * A[None, :] + B[None, :]) % P
+        sigs.append(hv.min(axis=0))
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.2, (est, true_j)
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.integers(min_value=2, max_value=40),
