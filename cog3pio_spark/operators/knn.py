@@ -211,27 +211,42 @@ def knn_join(
         C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("cell"),
     )
 
-    expanded = q.withColumn("cell", F.explode(C.h3x_kring(F.col("q_cell"), ring)))
-    probe = F.broadcast(expanded) if broadcast_queries else expanded
-    cand = probe.join(p, "cell")
-
-    dist = cand.withColumn(
-        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
-    )
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
-    ranked = (
-        dist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", point_id, "dist_m")
-    )
 
-    # fallback: queries that found < k neighbours get brute-forced
-    found = ranked.groupBy(query_id).agg(F.count("*").alias("n_found"))
-    short = (
-        q.join(found, query_id, "left")
-        .filter(F.coalesce(F.col("n_found"), F.lit(0)) < k)
-        .select(query_id, "q_lat", "q_lng")
+    def ring_phase(queries_df: DataFrame, ring_k: int) -> DataFrame:
+        expanded = queries_df.withColumn(
+            "cell", F.explode(C.h3x_kring(F.col("q_cell"), ring_k))
+        )
+        probe = F.broadcast(expanded) if broadcast_queries else expanded
+        cand = probe.join(p, "cell")
+        dist = cand.withColumn(
+            "dist_m",
+            haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")),
+        )
+        return (
+            dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", point_id, "dist_m")
+        )
+
+    def shortfall(queries_df: DataFrame, result: DataFrame) -> DataFrame:
+        found = result.groupBy(query_id).agg(F.count("*").alias("n_found"))
+        return (
+            queries_df.join(found, query_id, "left")
+            .filter(F.coalesce(F.col("n_found"), F.lit(0)) < k)
+            .drop("n_found")
+        )
+
+    # phase 1: base ring; phase 2: escalated ring (3×) for the queries that
+    # came up short — at scale this keeps the brute tail (a full points
+    # pass) to the rare truly-isolated queries.
+    ranked = ring_phase(q, ring)
+    short_q = shortfall(q, ranked)
+    escalated = ring_phase(short_q, ring * 3)
+    ranked = ranked.join(short_q.select(query_id), query_id, "left_anti").unionByName(
+        escalated
     )
+    short = shortfall(q, ranked).select(query_id, "q_lat", "q_lng")
     brute = (
         F.broadcast(short)
         .crossJoin(p.select(point_id, "p_lat", "p_lng"))
