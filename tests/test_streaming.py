@@ -54,6 +54,44 @@ def test_stateful_first_seen_dedupe(spark, doc_files, tmp_path):
     assert spark.read.parquet(out).count() == distinct_refs
 
 
+def test_windowed_media_counts(spark, doc_files, tmp_path):
+    """Watermarked tumbling-window counts match the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.streaming.ingest import windowed_media_counts
+
+    input_dir, docs = doc_files
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(input_dir)
+    agg = windowed_media_counts(stream, window="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select win.start as ws, media_ref, n_spans from wincounts"
+    ).collect()
+    batch = (
+        docs.select("ingest_ts", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .groupBy(
+            F.window("ingest_ts", "10 minutes").alias("win"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .agg(F.count("*").alias("n_spans"))
+        .select(F.col("win.start").alias("ws"), "media_ref", "n_spans")
+        .collect()
+    )
+    assert {(r["ws"], r["media_ref"], r["n_spans"]) for r in got} == {
+        (r["ws"], r["media_ref"], r["n_spans"]) for r in batch
+    }
+    assert len(got) > 0
+
+
 def test_available_now_drains_and_resumes(spark, doc_files, tmp_path):
     input_dir, docs = doc_files
     ckpt = str(tmp_path / "ckpt")
