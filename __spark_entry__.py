@@ -589,6 +589,56 @@ def q35_knn_exact_vs_ring(spark, sf):
     )
 
 
+def q44_ship_latency(spark, sf):
+    """Date arithmetic: order→ship latency distribution per priority."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    days = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(days).alias("min_days"),
+            F.max(days).alias("max_days"),
+            F.sum(days.cast("long")).alias("sum_days"),
+        )
+    )
+
+
+def q45_string_functions(spark, sf):
+    """String ops: name parsing, case transforms, length buckets."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.select(
+            F.upper(F.substring("c_name", 1, 4)).alias("prefix"),
+            F.length("c_name").alias("name_len"),
+            F.regexp_extract("c_name", r"([^#]*)$", 1).alias("suffix_num"),
+        )
+        .groupBy("prefix", "name_len")
+        .agg(F.count("*").alias("n"), F.max("suffix_num").alias("max_suffix"))
+    )
+
+
+def q46_conditional_pivot(spark, sf):
+    """Conditional aggregation: per-nation account-balance pivot by segment."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    seg = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("c_mktsegment") == s, F.col("c_acctbal").cast(T.DecimalType(18, 4)))
+        .otherwise(F.lit(0).cast(T.DecimalType(18, 4)))
+    ).cast("double")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            seg("BUILDING").alias("building_bal"),
+            seg("MACHINERY").alias("machinery_bal"),
+            F.count("*").alias("n_custs"),
+        )
+    )
+
+
 def q43_knn_sort_merge(spark, sf):
     """Curve-order sort-merge kNN fallback (rows-only, approximate path)."""
     from cog3pio_spark.operators.knn import knn_sort_merge
@@ -727,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_brand_revenue": q41_brand_revenue,
         "q42_supplier_balance": q42_supplier_balance,
         "q43_knn_sort_merge": q43_knn_sort_merge,
+        "q44_ship_latency": q44_ship_latency,
+        "q45_string_functions": q45_string_functions,
+        "q46_conditional_pivot": q46_conditional_pivot,
     }
 
 
@@ -992,6 +1045,34 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n_shipped, 0)) AS total_shipped
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
                  LEFT JOIN shipped ON s_suppkey = l_suppkey
+            GROUP BY n_name
+        """,
+        "q44_ship_latency": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   MIN(datediff('day', o_orderdate, l_shipdate)) AS min_days,
+                   MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days,
+                   SUM(datediff('day', o_orderdate, l_shipdate)) AS sum_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q45_string_functions": """
+            SELECT upper(substr(c_name, 1, 4)) AS prefix,
+                   length(c_name) AS name_len,
+                   COUNT(*) AS n,
+                   MAX(regexp_extract(c_name, '([^#]*)$', 1)) AS max_suffix
+            FROM customer
+            GROUP BY 1, 2
+        """,
+        "q46_conditional_pivot": """
+            SELECT n_name,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                                 THEN CAST(c_acctbal AS DECIMAL(18,4))
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS building_bal,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                                 THEN CAST(c_acctbal AS DECIMAL(18,4))
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS machinery_bal,
+                   COUNT(*) AS n_custs
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
         "q38_curation": f"""
