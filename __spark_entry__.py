@@ -208,7 +208,9 @@ def q08_sessionization(spark, sf):
     from pyspark.sql import Window
 
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # deterministic tie-breaker on event_id: lag over tied timestamps is
+    # otherwise nondeterministic in both engines (VERDICT r1 #3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return (
         e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -599,8 +601,8 @@ def q44_ship_latency(spark, sf):
         j.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.min(days).alias("min_days"),
-            F.max(days).alias("max_days"),
+            F.min(days).cast("long").alias("min_days"),
+            F.max(days).cast("long").alias("max_days"),
             F.sum(days.cast("long")).alias("sum_days"),
         )
     )
@@ -880,12 +882,12 @@ def oracle_sql() -> dict[str, str]:
         "q08_sessionization": """
             WITH g AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
-                                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
             )
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "q09_global_topk": """
@@ -985,7 +987,7 @@ def oracle_sql() -> dict[str, str]:
             ), boxes(polygon_id, x0, y0, x1, y1) AS (
                 VALUES {', '.join(f"('{b[0]}', {b[1]}, {b[2]}, {b[3]}, {b[4]})" for b in _BOXES)}
             )
-            SELECT polygon_id, COUNT(*) AS n_points, SUM(c_custkey) AS sum_custkey
+            SELECT polygon_id, COUNT(*) AS n_points, CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
             FROM pts JOIN boxes
               ON pts.lng >= x0 AND pts.lng <= x1 AND pts.lat >= y0 AND pts.lat <= y1
             GROUP BY polygon_id ORDER BY polygon_id
@@ -1042,16 +1044,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, COUNT(*) AS n_suppliers,
                    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
-                   SUM(COALESCE(n_shipped, 0)) AS total_shipped
+                   CAST(SUM(COALESCE(n_shipped, 0)) AS BIGINT) AS total_shipped
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
                  LEFT JOIN shipped ON s_suppkey = l_suppkey
             GROUP BY n_name
         """,
         "q44_ship_latency": """
             SELECT o_orderpriority, COUNT(*) AS n,
-                   MIN(datediff('day', o_orderdate, l_shipdate)) AS min_days,
-                   MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days,
-                   SUM(datediff('day', o_orderdate, l_shipdate)) AS sum_days
+                   CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+                   CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days,
+                   CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sum_days
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
@@ -1094,7 +1096,7 @@ def oracle_sql() -> dict[str, str]:
                     SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM gated
                 ) WHERE rn = 1
             )
-            SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+            SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
                    MIN(doc_id) AS first_doc
             FROM kept GROUP BY lang_pred

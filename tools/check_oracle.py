@@ -2,7 +2,15 @@
 
 Runs every __spark_entry__.queries() entry on Spark and, where an oracle
 exists, the oracle SQL on DuckDB over the same parquet tables; compares
-row count, column names, and an order-insensitive value multiset.
+row count, column names, **Arrow-level column types**, and an
+order-insensitive value multiset.
+
+The typed comparison is the round-2 hardening (VERDICT r1 "What's wrong" #2):
+the round-1 replica stringified every value, so DuckDB SUM(int) →
+decimal128(38,0) vs Spark int64 compared equal locally while the driver's
+typed value-hash failed. Both sides are now materialized as Arrow tables
+(duckdb .arrow() vs Spark .toArrow()) and their types must agree up to a
+small canonicalization (string==large_string, timestamp units → us).
 
 Usage: python tools/check_oracle.py [sf_dir] [only_query_prefix]
 """
@@ -16,6 +24,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 import __spark_entry__ as E
 
@@ -25,6 +34,30 @@ TABLES = [
 ]
 
 
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type label: collapses representational variants two engines
+    legitimately disagree on, keeps the width/kind distinctions the driver's
+    typed hash is sensitive to (decimal vs int, int32 vs int64, date vs str)."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit/tz variance tolerated; value compare catches real drift
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    # Integer/float WIDTH is tolerated by the driver (round-1 evidence: q05/q14/
+    # q17/q18/q20/q45 hash-matched with spark int32 vs duckdb int64); only KIND
+    # differences (decimal vs int, date vs string) fail its typed hash.
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
 def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -32,19 +65,21 @@ def norm_value(v):
         return f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    try:  # Decimal → canonical float-ish string
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
-    except Exception:
-        pass
-    return str(v)
+    if isinstance(v, list):
+        return tuple(norm_value(x) for x in v)
+    return repr(v)  # repr, not str: Decimal('1') != 1, '1' != 1
 
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def arrow_cols_types_rows(tbl: pa.Table):
+    cols = tbl.column_names
+    types = {c: canon_type(tbl.schema.field(c).type) for c in cols}
+    rows = [tuple(d.values()) for d in tbl.to_pylist()]
+    return cols, types, rows
 
 
 def main():
@@ -69,8 +104,8 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            stbl = sdf.toArrow()
+            scols, stypes, srows = arrow_cols_types_rows(stbl)
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
@@ -80,9 +115,8 @@ def main():
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols, otypes, orows = arrow_cols_types_rows(otbl)
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
@@ -95,12 +129,19 @@ def main():
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(orows)}")
             ok = False
         else:
-            a = canon([tuple(r) for r in srows], scols)
-            b = canon(orows, ocols)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
-                print(f"FAIL  {name}: value mismatch; first diffs: {diffs}")
+            tdiff = {
+                c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]
+            }
+            if tdiff:
+                print(f"FAIL  {name}: TYPE mismatch spark-vs-duck: {tdiff}")
                 ok = False
+            else:
+                a = canon(srows, scols)
+                b = canon(orows, ocols)
+                if a != b:
+                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+                    print(f"FAIL  {name}: value mismatch; first diffs: {diffs}")
+                    ok = False
         if ok:
             print(f"PASS  {name}: {len(srows)} rows")
             n_pass += 1
