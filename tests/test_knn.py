@@ -64,6 +64,39 @@ def test_exactness_certificate_is_sound(spark, clustered):
     assert all(r["exact"] for r in fr)
 
 
+def test_exactness_certificate_sound_at_face_edge(spark):
+    """A query hugging the cube-face edge (lng=45 between S2 faces 0/1) whose
+    TRUE nearest neighbors lie just across the edge: k-rings truncate at face
+    boundaries, so the ring join only sees same-face points. Pre-fix the
+    certificate bound ignored the edge and certified the wrong rows; the
+    edge-capped bound must leave this query uncertified (or certified AND
+    matching brute force)."""
+    # measured at res 6 near lng=45: un-capped ring bound = 751 m, so the
+    # same-face kth (~445 m) certifies pre-fix; the cross-face points are
+    # closer (239..306 m) and invisible to the truncated k-ring.
+    query = spark.createDataFrame([(1, 0.0, 44.998)], ["query_id", "lat", "lng"])
+    pts = []
+    # 5 same-face points, 222..445 m west — inside ring-2 coverage
+    for i in range(1, 6):
+        pts.append((100 + i, 0.0, 44.998 - 0.002 - 0.0005 * (i - 1)))
+    # 5 cross-face points, just across lng=45 — closer than same-face ranks 2+
+    for i in range(1, 6):
+        pts.append((200 + i, 0.0, 45.0 + 0.00015 * i))
+    points = spark.createDataFrame(pts, ["point_id", "lat", "lng"])
+    cert = knn_join(query, points, k=5, res=6, ring=2, with_certificate=True)
+    rows = cert.collect()
+    brute = {
+        (r["query_id"], r["rank"]): r["point_id"]
+        for r in knn_brute(query, points, k=5).collect()
+    }
+    for r in rows:
+        if r["exact"]:
+            assert brute[(r["query_id"], r["rank"])] == r["point_id"], (
+                "false certificate at face edge: certified row disagrees "
+                f"with brute force ({r})"
+            )
+
+
 def test_sort_merge_knn_recall(clustered):
     """Curve-order kNN: high recall vs brute force on clustered data."""
     from cog3pio_spark.operators.knn import knn_sort_merge
@@ -75,6 +108,38 @@ def test_sort_merge_knn_recall(clustered):
     b = {(r["query_id"], r["point_id"]) for r in brute.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.9, recall
+
+
+def test_sort_merge_partitioned_equals_single_bucket(clustered):
+    """Ghost-row boundary duplication: bucketed execution must produce the
+    IDENTICAL result as one global bucket (VERDICT r1 fix #2)."""
+    from cog3pio_spark.operators.knn import knn_sort_merge
+
+    queries, points = clustered
+    one = knn_sort_merge(queries, points, k=5, scan_width=32, num_buckets=1)
+    many = knn_sort_merge(queries, points, k=5, scan_width=32, num_buckets=4)
+    a = {(r["query_id"], r["rank"], r["point_id"]) for r in one.collect()}
+    b = {(r["query_id"], r["rank"], r["point_id"]) for r in many.collect()}
+    assert a == b
+    assert len(b) == 12 * 5
+
+
+def test_sort_merge_window_not_single_partition(clustered):
+    """The neighborhood window must run per-bucket — no global single-task
+    Exchange SinglePartition feeding a Window (the round-1 scale-killer)."""
+    from cog3pio_spark.operators.knn import knn_sort_merge
+
+    queries, points = clustered
+    sm = knn_sort_merge(queries, points, k=5, scan_width=32, num_buckets=4)
+    sm.collect()
+    plan = sm._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # rowsBetween windows appear after hashpartitioning(_bucket...) exchanges
+    # only; a SinglePartition exchange would mean the global window is back
+    for i, line in enumerate(plan.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(plan.splitlines()[max(0, i - 3): i + 3])
+            assert "Window" not in ctx, f"single-partition window:\n{ctx}"
 
 
 def test_sparse_queries_fall_back(spark, clustered):
