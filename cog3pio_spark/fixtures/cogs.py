@@ -128,6 +128,22 @@ def generate_fixtures(out_dir: str) -> list[dict]:
                tiepoint=(0, 0, 0, 1679617.031 - 0.5, 5362323.781 + 0.5, 0))
     register("dem", dem, p, geo=(1.0, 1.0, 1679617.031 - 0.5, 5362323.781 + 0.5))
 
+    # 7b. compression parity: LZW (+horizontal-differencing predictor) and
+    # PackBits — the tiff-crate compressions the reference decodes beyond
+    # deflate (/root/reference/Cargo.toml:49); codecs are interop-verified
+    # against Java ImageIO both ways (tests/test_tiff.py)
+    lzw = _ramp("uint16", 24, 24)
+    p = os.path.join(out_dir, "lzw_u16_24x24.tif")
+    write_tiff(p, lzw, tiled=True, compression="lzw", predictor=2,
+               pixel_scale=(15.0, 15.0), tiepoint=(0, 0, 0, 610000.0, 5395000.0, 0))
+    register("lzw", lzw, p, geo=(15.0, 15.0, 610000.0, 5395000.0))
+
+    pb = _ramp("uint8", 16, 40)
+    p = os.path.join(out_dir, "packbits_u8_16x40.tif")
+    write_tiff(p, pb, compression="packbits",
+               pixel_scale=(25.0, 25.0), tiepoint=(0, 0, 0, 612000.0, 5396000.0, 0))
+    register("packbits", pb, p, geo=(25.0, 25.0, 612000.0, 5396000.0))
+
     # 8. error fixtures
     pal = np.zeros((1, 8, 8), dtype=np.uint8)
     p = os.path.join(out_dir, "err_palette.tif")

@@ -33,6 +33,69 @@ class TiffDecodeError(ValueError):
     """Decode/parse failure with a reference-shaped message."""
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW (MSB-first, early change) — inverse of
+    writer.lzw_encode; matches the reference's tiff-crate coverage
+    (/root/reference/Cargo.toml:49)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] | None = None
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    bitbuf = bitcnt = 0
+    pos, n = 0, len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)  # stream ends without EOI: tolerate
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if table is None:
+            raise TiffDecodeError("Cannot decode LZW: stream missing ClearCode")
+        if code < len(table):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise TiffDecodeError(f"Cannot decode LZW: corrupt code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits byte RLE — inverse of writer.packbits_encode."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 = noop
+    return bytes(out)
+
+
 _DTYPES = {
     # (sample_format, bits) -> numpy dtype; mirrors src/io/geotiff.rs:50-60
     (1, 8): np.uint8,
@@ -64,26 +127,31 @@ class AffineTransform:
         return (self.a, self.b, self.c, self.d, self.e, self.f)
 
 
-def _read_ifds(buf: bytes) -> list[dict[int, list]]:
+def _read_ifds(buf: bytes) -> tuple[list[dict[int, list]], str]:
     """Parse the full IFD chain (image 0 = full resolution, 1.. = overviews).
+
+    Both byte orders are supported (``II`` little / ``MM`` big — the
+    reference's tiff-crate backend reads both). Returns (ifds, byte_order)
+    where byte_order is the struct prefix "<" or ">".
 
     The reference stops at image 0 (src/io/geotiff.rs:46); parsing the chain
     is the engine's overview extension (north_star) — selection happens in
     CogReader(image_index=...).
     """
-    if len(buf) < 8 or buf[:2] not in (b"II",):
-        raise TiffDecodeError("Cannot parse TIFF header (little-endian classic only)")
+    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+        raise TiffDecodeError("Cannot parse TIFF header: bad byte-order mark")
+    bo = "<" if buf[:2] == b"II" else ">"
     try:
-        magic, ifd_offset = struct.unpack_from("<HI", buf, 2)
+        magic, ifd_offset = struct.unpack_from(bo + "HI", buf, 2)
         if magic != 42:
             raise TiffDecodeError(f"Cannot parse TIFF header: bad magic {magic}")
         ifds: list[dict[int, list]] = []
         while ifd_offset != 0 and len(ifds) < 32:  # 32 = runaway-chain guard
             tags: dict[int, list] = {}
-            (n_entries,) = struct.unpack_from("<H", buf, ifd_offset)
+            (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_offset)
             pos = ifd_offset + 2
             for _ in range(n_entries):
-                tag, typ, count = struct.unpack_from("<HHI", buf, pos)
+                tag, typ, count = struct.unpack_from(bo + "HHI", buf, pos)
                 size = W._TYPE_SIZES.get(typ)
                 if size is None:  # unknown entry type: skip
                     pos += 12
@@ -92,17 +160,17 @@ def _read_ifds(buf: bytes) -> list[dict[int, list]]:
                 if total <= 4:
                     off = pos + 8
                 else:
-                    (off,) = struct.unpack_from("<I", buf, pos + 8)
-                fmt = "<" + W._TYPE_FMT[typ] * count
+                    (off,) = struct.unpack_from(bo + "I", buf, pos + 8)
+                fmt = bo + W._TYPE_FMT[typ] * count
                 tags[tag] = list(struct.unpack_from(fmt, buf, off))
                 pos += 12
             ifds.append(tags)
-            (ifd_offset,) = struct.unpack_from("<I", buf, pos)
+            (ifd_offset,) = struct.unpack_from(bo + "I", buf, pos)
     except struct.error as exc:
         raise TiffDecodeError(f"Cannot parse TIFF: truncated or corrupt ({exc})") from exc
     if not ifds:
         raise TiffDecodeError("Cannot parse TIFF: no IFDs")
-    return ifds
+    return ifds, bo
 
 
 class CogReader:
@@ -118,7 +186,7 @@ class CogReader:
         """``image_index=0`` is the reference-parity full-resolution decode;
         indices 1.. select COG overview levels (engine extension)."""
         self._buf = data
-        self.ifds = _read_ifds(data)
+        self.ifds, self.byte_order = _read_ifds(data)
         if image_index >= len(self.ifds):
             raise TiffDecodeError(
                 f"Image index {image_index} out of range: file has "
@@ -139,6 +207,11 @@ class CogReader:
         fmt_list = t.get(W.SAMPLE_FORMAT, [1])
         self.sample_format = int(fmt_list[0])
         self.compression = int(t.get(W.COMPRESSION, [1])[0])
+        self.predictor = int(t.get(W.PREDICTOR, [1])[0])
+        if self.predictor not in (1, 2):
+            raise TiffDecodeError(
+                f"unsupported error: predictor {self.predictor} is unsupported"
+            )
 
         # Band count from color type — src/io/geotiff.rs:67-83
         if self.photometric == 3:
@@ -155,17 +228,38 @@ class CogReader:
                 "is unsupported"
             )
         self.dtype = np.dtype(_DTYPES[key])
+        # stored-sample dtype honors the file's byte order; decode output is
+        # always converted to native order (engine tensors are native)
+        self._stored_dtype = (
+            self.dtype.newbyteorder(">") if self.byte_order == ">" else self.dtype
+        )
 
     # -- pixel decode ------------------------------------------------------
     def _chunk(self, off: int, n: int) -> bytes:
         raw = self._buf[off : off + n]
         if self.compression == 8:
             return zlib.decompress(raw)
+        if self.compression == 5:
+            return _lzw_decode(raw)
+        if self.compression == 32773:
+            return _packbits_decode(raw)
         if self.compression == 1:
             return raw
         raise TiffDecodeError(
             f"unsupported error: compression {self.compression} is unsupported"
         )
+
+    def _unpredict(self, chunk: np.ndarray) -> np.ndarray:
+        """Undo horizontal differencing (predictor 2) on (rows, px, samples)."""
+        if self.predictor != 2:
+            return chunk
+        if chunk.dtype.kind == "f":
+            raise TiffDecodeError(
+                "unsupported error: predictor 2 with float samples is unsupported"
+            )
+        bits = chunk.dtype.itemsize * 8
+        wide = np.cumsum(chunk.astype(np.int64), axis=1)
+        return (wide & ((1 << bits) - 1)).astype(chunk.dtype)
 
     def to_numpy(self, window: tuple[int, int, int, int] | None = None) -> np.ndarray:
         """Decode the selected IFD → (band, h, w) tensor.
@@ -200,8 +294,10 @@ class CogReader:
                     x0 >= wx1 or y0 >= wy1 or x0 + tw <= wx0 or y0 + th <= wy0
                 ):
                     continue  # tile outside window: never decompressed
-                tile = np.frombuffer(self._chunk(off, cnt), self.dtype)
-                tile = tile.reshape(th, tw, self.samples)
+                tile = np.frombuffer(self._chunk(off, cnt), self._stored_dtype).astype(
+                    self.dtype, copy=False
+                )
+                tile = self._unpredict(tile.reshape(th, tw, self.samples))
                 h = min(th, self.height - y0)
                 w = min(tw, self.width - x0)
                 out[y0 : y0 + h, x0 : x0 + w, :] = tile[:h, :w, :]
@@ -218,14 +314,22 @@ class CogReader:
                 raw = b"".join(
                     self._chunk(offs[s], counts[s]) for s in range(s_lo, s_hi + 1)
                 )
-                dec = np.frombuffer(raw, self.dtype).reshape(
-                    -1, self.width, self.samples
+                dec = self._unpredict(
+                    np.frombuffer(raw, self._stored_dtype)
+                    .astype(self.dtype, copy=False)
+                    .reshape(
+                        -1, self.width, self.samples
+                    )
                 )
                 crop = dec[wy0 - s_lo * rows_per_strip : wy1 - s_lo * rows_per_strip,
                            wx0:wx1, :]
                 return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
             raw = b"".join(self._chunk(o, c) for o, c in zip(offs, counts))
-            flat = np.frombuffer(raw, self.dtype)
+            flat = np.frombuffer(raw, self._stored_dtype).astype(self.dtype, copy=False)
+            if self.predictor == 2:
+                flat = self._unpredict(
+                    flat.reshape(-1, self.width, self.samples)
+                ).ravel()
 
         shape = (self.bands, self.height, self.width)
         if flat.size != shape[0] * shape[1] * shape[2]:

@@ -1,7 +1,10 @@
 """Minimal deterministic TIFF writer (classic, little-endian).
 
 Supports exactly what the fixture matrix needs (FIXTURES.md §3):
-striped or tiled layout, uncompressed or DEFLATE (zlib), chunky
+striped or tiled layout, uncompressed / DEFLATE (zlib) / LZW / PackBits
+(the compressions the reference's ``tiff``-crate backend decodes —
+/root/reference/Cargo.toml:49, decode at src/io/geotiff.rs:46), optional
+horizontal-differencing predictor (TIFF 6.0 §14), chunky
 (pixel-interleaved) planar config, all reference dtypes
 {u8,u16,u32,u64,i8,i16,i32,i64,f16,f32,f64}, 1..n bands, optional GeoTIFF
 ModelPixelScale/ModelTiepoint tags, and a palette-color mode used only to
@@ -20,13 +23,14 @@ import numpy as np
 IMAGE_WIDTH = 256
 IMAGE_LENGTH = 257
 BITS_PER_SAMPLE = 258
-COMPRESSION = 259  # 1 = none, 8 = Adobe DEFLATE (zlib)
+COMPRESSION = 259  # 1 = none, 5 = LZW, 8 = Adobe DEFLATE (zlib), 32773 = PackBits
 PHOTOMETRIC = 262  # 1 = BlackIsZero, 2 = RGB, 3 = Palette
 STRIP_OFFSETS = 273
 SAMPLES_PER_PIXEL = 277
 ROWS_PER_STRIP = 278
 STRIP_BYTE_COUNTS = 279
 PLANAR_CONFIG = 284  # 1 = chunky
+PREDICTOR = 317  # 1 = none, 2 = horizontal differencing
 COLOR_MAP = 320
 TILE_WIDTH = 322
 TILE_LENGTH = 323
@@ -44,6 +48,90 @@ _TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
 _TYPE_FMT = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}
 
 _SAMPLE_FORMAT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+_COMPRESSION_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode=256, EOI=257,
+    9→12-bit codes with the TIFF "early change" (width bumps one code early,
+    when the next table slot reaches 2^width − 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: the decoder's table trails ours by one entry at the
+        # same stream position and bumps at (1<<width)-1, so we bump at
+        # (1<<width) — verified against Java ImageIO's TIFF codec both ways
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset (spec-mandated)
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits byte RLE."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append((256 - (run - 1)) & 0xFF)  # -(run-1) two's complement
+            out.append(data[i])
+            i += run
+        else:
+            lit = i
+            i += 1
+            while i < n and (i - lit) < 128 and not (
+                i + 1 < n and data[i] == data[i + 1]
+            ):
+                i += 1
+            out.append(i - lit - 1)
+            out += data[lit:i]
+    return bytes(out)
+
+
+def _hdiff(chunk: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (predictor 2) over (rows, px, samples)."""
+    if chunk.dtype.kind == "f":
+        raise ValueError("predictor 2 requires an integer dtype")
+    bits = chunk.dtype.itemsize * 8
+    wide = chunk.astype(np.int64)
+    wide[:, 1:, :] = wide[:, 1:, :] - wide[:, :-1, :]
+    return (wide & ((1 << bits) - 1)).astype(chunk.dtype)
 
 
 def _entries_bytes(tag: int, typ: int, values: list, extra: list) -> bytes:
@@ -64,7 +152,8 @@ def write_tiff(
     *,
     tiled: bool = False,
     tile_size: int = 16,
-    compression: str = "none",  # "none" | "deflate"
+    compression: str = "none",  # "none" | "deflate" | "lzw" | "packbits"
+    predictor: int = 1,  # 1 = none, 2 = horizontal differencing
     photometric: int | None = None,
     pixel_scale: tuple[float, float] | None = None,
     tiepoint: tuple[float, ...] | None = None,  # (i, j, k, x, y, z)
@@ -103,6 +192,7 @@ def write_tiff(
             tiled=tiled,
             tile_size=tile_size,
             compression=compression,
+            predictor=predictor,
             photometric=photometric,
             pixel_scale=ps,
             tiepoint=tiepoint,
@@ -132,6 +222,7 @@ def _image_section(
     tiled: bool,
     tile_size: int,
     compression: str,
+    predictor: int,
     photometric: int | None,
     pixel_scale,
     tiepoint,
@@ -151,8 +242,20 @@ def _image_section(
     if photometric is None:
         photometric = 3 if palette else (2 if bands == 3 else 1)
 
-    def compress(buf: bytes) -> bytes:
-        return zlib.compress(buf, 6) if compression == "deflate" else buf
+    if compression not in _COMPRESSION_TAG:
+        raise ValueError(f"unknown compression: {compression}")
+
+    def compress(chunk: np.ndarray) -> bytes:
+        if predictor == 2:
+            chunk = _hdiff(chunk)
+        buf = np.ascontiguousarray(chunk).tobytes()
+        if compression == "deflate":
+            return zlib.compress(buf, 6)
+        if compression == "lzw":
+            return lzw_encode(buf)
+        if compression == "packbits":
+            return packbits_encode(buf)
+        return buf
 
     chunks: list[bytes] = []
     if tiled:
@@ -162,11 +265,11 @@ def _image_section(
                 tile = np.zeros((th, tw, bands), dtype=dt)
                 block = chunky[ty : ty + th, tx : tx + tw, :]
                 tile[: block.shape[0], : block.shape[1], :] = block
-                chunks.append(compress(tile.tobytes()))
+                chunks.append(compress(tile))
     else:
         rows_per_strip = max(1, min(height, 8))
         for sy in range(0, height, rows_per_strip):
-            chunks.append(compress(chunky[sy : sy + rows_per_strip].tobytes()))
+            chunks.append(compress(chunky[sy : sy + rows_per_strip]))
 
     # chunk offsets are ABSOLUTE file offsets (TIFF requirement)
     offsets, cursor = [], base
@@ -184,7 +287,9 @@ def _image_section(
     add(IMAGE_WIDTH, _TYPE_LONG, [width])
     add(IMAGE_LENGTH, _TYPE_LONG, [height])
     add(BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * bands)
-    add(COMPRESSION, _TYPE_SHORT, [8 if compression == "deflate" else 1])
+    add(COMPRESSION, _TYPE_SHORT, [_COMPRESSION_TAG[compression]])
+    if predictor != 1:
+        add(PREDICTOR, _TYPE_SHORT, [predictor])
     add(PHOTOMETRIC, _TYPE_SHORT, [photometric])
     if tiled:
         add(TILE_WIDTH, _TYPE_SHORT, [tile_size])

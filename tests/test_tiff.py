@@ -147,3 +147,57 @@ def test_deflate_and_tiled_roundtrip(tmp_path):
             assert got.shape == (2, 37, 23)
             # engine de-interleaves chunky data to true band-major
             np.testing.assert_array_equal(got, arr)
+
+
+def test_lzw_packbits_predictor_roundtrip(tmp_path):
+    """LZW / PackBits / horizontal-differencing predictor round-trips across
+    the dtype matrix — the tiff-crate compressions the reference decodes
+    beyond deflate (/root/reference/Cargo.toml:49)."""
+    rng = np.random.RandomState(3)
+    for comp in ("lzw", "packbits"):
+        for dt in ("uint8", "uint16", "int32", "float32", "uint64"):
+            arr = (rng.rand(2, 33, 47) * 100).astype(dt)
+            for tiled in (False, True):
+                p = str(tmp_path / f"rt_{comp}_{dt}_{tiled}.tif")
+                write_tiff(p, arr, tiled=tiled, compression=comp)
+                got = CogReader(open(p, "rb").read()).to_numpy()
+                assert got.dtype == arr.dtype
+                np.testing.assert_array_equal(got, arr)
+    # predictor 2 (integer dtypes only)
+    for comp in ("lzw", "deflate", "packbits"):
+        arr = np.cumsum(rng.randint(0, 3, (1, 40, 50)), axis=2).astype("uint16")
+        p = str(tmp_path / f"p2_{comp}.tif")
+        write_tiff(p, arr, compression=comp, predictor=2)
+        np.testing.assert_array_equal(CogReader(open(p, "rb").read()).to_numpy(), arr)
+    # predictor 2 + float rejected (TIFF 6.0: predictor 2 is integer-only)
+    with pytest.raises(ValueError, match="integer"):
+        write_tiff(str(tmp_path / "bad.tif"), rng.rand(1, 4, 4).astype("float32"),
+                   compression="lzw", predictor=2)
+
+
+def test_lzw_windowed_tile_decode(tmp_path):
+    """Window decode must decompress only intersecting LZW tiles and undo
+    the predictor per tile."""
+    rng = np.random.RandomState(5)
+    arr = (rng.rand(1, 64, 64) * 255).astype("uint8")
+    p = str(tmp_path / "win_lzw.tif")
+    write_tiff(p, arr, tiled=True, tile_size=16, compression="lzw", predictor=2)
+    win = CogReader(open(p, "rb").read()).to_numpy(window=(5, 7, 40, 33))
+    np.testing.assert_array_equal(win, arr[:, 7:33, 5:40])
+
+
+def test_java_imageio_interop():
+    """Checked-in TIFFs written by Java 17 ImageIO (big-endian, LZW and
+    PackBits): pins our decoders to a second independent implementation.
+    Pixel formula: (x*7 + y*13) % 251, 70x40 gray u8."""
+    import os
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    exp = np.fromfunction(lambda y, x: (x * 7 + y * 13) % 251, (40, 70)).astype(
+        np.uint8
+    )
+    for name, comp in (("java_lzw.tif", 5), ("java_pb.tif", 32773)):
+        r = CogReader(open(os.path.join(data_dir, name), "rb").read())
+        assert r.byte_order == ">"
+        assert r.compression == comp
+        np.testing.assert_array_equal(r.to_numpy()[0], exp)
