@@ -377,7 +377,9 @@ def q22_cell_assignment(spark, sf):
 def q23_minhash_dupes(spark, sf):
     from cog3pio_spark.operators.dedupe import minhash_lsh_dupes
 
-    return minhash_lsh_dupes(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+    return minhash_lsh_dupes(_t(spark, sf, "documents"), jaccard_threshold=0.5).select(
+        "id_a", "id_b", "jaccard_est"
+    )
 
 
 def q24_simhash_dupes(spark, sf):
@@ -943,9 +945,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
             ), sizes AS (
                 SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+            ), rare AS (
+                -- df-cap mirror of ngram_jaccard_pairs(df_cap=10000): drop
+                -- stop-phrase grams before the self-join (sizes stay pre-cap)
+                SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 10000
+            ), capped AS (
+                SELECT grams.doc_id, grams.g FROM grams JOIN rare USING (g)
             ), co AS (
                 SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
-                FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+                FROM capped l JOIN capped r ON l.g = r.g AND l.doc_id < r.doc_id
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
