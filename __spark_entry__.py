@@ -310,6 +310,16 @@ def q18_embedding_top_pairs(spark, sf):
     return top_cosine_pairs(_t(spark, sf, "embeddings"), top_n=20)
 
 
+def q47_top_pairs_blocked(spark, sf):
+    """LSH-blocked global top-similar-pairs (scale path for q18): multi-table
+    hyperplane blocking + per-bucket top-N + TakeOrderedAndProject — no
+    all-pairs product, no global window. Oracle: SAME exact-top-pairs SQL as
+    q18 (blocked output is deterministically equal at sf0.01, seed-fixed)."""
+    from cog3pio_spark.operators.ann import top_cosine_pairs_blocked
+
+    return top_cosine_pairs_blocked(_t(spark, sf, "embeddings"), dim=64, top_n=20)
+
+
 def q19_pip_boxes(spark, sf):
     from cog3pio_spark.fixtures.polygons import polygon_schema
     from cog3pio_spark.operators.pip_join import pip_join
@@ -756,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_ngram_jaccard": q16_ngram_jaccard,
         "q17_ann_topk": q17_ann_topk,
         "q18_embedding_top_pairs": q18_embedding_top_pairs,
+        "q47_top_pairs_blocked": q47_top_pairs_blocked,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,
@@ -979,6 +990,19 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rank <= 10
         """,
         "q18_embedding_top_pairs": """
+            WITH pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs
+            ) WHERE rank <= 20
+        """,
+        # q47 = LSH-blocked variant; deterministically equal to the exact
+        # top pairs at sf0.01 (seed-fixed), so it shares q18's exact oracle
+        "q47_top_pairs_blocked": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

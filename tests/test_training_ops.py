@@ -247,3 +247,25 @@ def test_ngram_df_cap_drops_stop_gram_only_pairs(spark):
     # rare-gram pair survives: shares 'rare shared phrase','shared phrase one',
     # 'phrase one two' = 3 of (4+4-3)=5 grams
     assert abs(out[("r1", "r2")] - 0.6) < 1e-9
+
+
+def test_blocked_top_pairs_on_near_dups(spark):
+    """The blocked variant's real use case: corpora with genuinely similar
+    top pairs. Planted near-dups (cosine ~1) must be retrieved exactly, and
+    the result must match the exact all-pairs variant."""
+    from cog3pio_spark.operators.ann import top_cosine_pairs, top_cosine_pairs_blocked
+
+    rng = np.random.RandomState(17)
+    mat = rng.randn(300, 32)
+    for i in range(10):  # 10 planted near-dup pairs
+        mat[200 + i] = mat[i] + rng.randn(32) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)], ["vec_id", "embedding"]
+    )
+    exact = {(r.id_a, r.id_b) for r in top_cosine_pairs(df, top_n=10).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in top_cosine_pairs_blocked(df, dim=32, top_n=10).collect()
+    }
+    assert exact == {(i, 200 + i) for i in range(10)}
+    assert blocked == exact
