@@ -55,36 +55,50 @@ def write_checkpointed(
 
     manifest = load_manifest(spark, base)
     skipped = 0
+    done = None
     if manifest is not None:
         done = manifest.select(F.col("part_key_done").alias(part_col)).distinct()
         skipped = done.count()
         df = df.join(F.broadcast(done), part_col, "left_anti")
 
-    # metrics per partition key — partial agg, one tiny shuffle
-    metrics = df.groupBy(part_col).agg(
-        F.count("*").alias("n_rows"),
-    )
-
-    pending = metrics.count()
-    if pending == 0:
+    if df.isEmpty():
         return {"written_keys": 0, "skipped_keys": skipped, "rows": 0}
 
+    # ONE execution of the (possibly nondeterministic) upstream: the write.
+    # Manifest metrics are then derived from the durable output itself, so
+    # n_rows can never disagree with the parquet data (ADVICE r1 — three
+    # separate executions could diverge under row_number ties / sampling).
     (
         df.write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(data_path(base))
     )
-    total_rows = metrics.agg(F.sum("n_rows")).collect()[0][0]
+    written = spark.read.parquet(data_path(base))
+    if done is not None:
+        written = written.join(F.broadcast(done), part_col, "left_anti")
+    metric_rows = written.groupBy(part_col).agg(F.count("*").alias("n_rows")).collect()
+    total_rows = sum(r["n_rows"] for r in metric_rows)
+    from pyspark.sql import types as T
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("part_key_done", written.schema[part_col].dataType),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
     (
-        metrics.select(
-            F.col(part_col).alias("part_key_done"),
-            "n_rows",
-            F.current_timestamp().alias("completed_at"),  # metrics-only timestamp
+        spark.createDataFrame(
+            [(r[part_col], r["n_rows"]) for r in metric_rows], manifest_schema
         )
+        .withColumn("completed_at", F.current_timestamp())  # metrics-only
         .write.mode("append")
         .parquet(manifest_path(base))
     )
-    return {"written_keys": pending, "skipped_keys": skipped, "rows": total_rows}
+    return {
+        "written_keys": len(metric_rows),
+        "skipped_keys": skipped,
+        "rows": total_rows,
+    }
 
 
 def read_checkpointed(spark: SparkSession, base: str) -> DataFrame:

@@ -122,6 +122,11 @@ def _bbox_pairs_grid(px, py, pack):
     gx, gy, x0, y0, sx, sy = pack["grid"]
     cx = ((px - x0) / sx).astype(np.int64)
     cy = ((py - y0) / sy).astype(np.int64)
+    # points exactly on the layer's max extent belong to the last cell (the
+    # PIP contract is boundary-inclusive; strict cx < gx would drop them and
+    # diverge from the dense path — ADVICE r1). Out-of-extent stays rejected.
+    cx = np.where((px <= x0 + gx * sx) & (cx == gx), gx - 1, cx)
+    cy = np.where((py <= y0 + gy * sy) & (cy == gy), gy - 1, cy)
     inside = (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy) & np.isfinite(px)
     pt = np.nonzero(inside)[0]
     cell = cx[pt] * gy + cy[pt]

@@ -40,10 +40,25 @@ def cell_prefix_range_join(
     p = probe.withColumn("_prefix", C.s2_parent(F.col(cell_col), prefix_level)).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_salt)).cast("int")
     )
+    # A range spanning the face 3|4 boundary flips sign in the signed-int64
+    # carrier (lo > hi as signed), which would break both sequence() and the
+    # final BETWEEN filter (ADVICE r1). Split such ranges at the sign flip
+    # into two same-sign sub-ranges before the prefix explode.
+    crosses = F.col(lo_col) > F.col(hi_col)
+    splits = F.when(
+        crosses,
+        F.array(
+            F.struct(F.col(lo_col).alias("_lo"), F.lit((1 << 63) - 1).alias("_hi")),
+            F.struct(F.lit(-(1 << 63)).alias("_lo"), F.col(hi_col).alias("_hi")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col(lo_col).alias("_lo"), F.col(hi_col).alias("_hi")))
+    )
     # explode build ranges across every prefix cell they overlap
     r = (
-        ranges.withColumn("_p_lo", C.s2_parent(F.col(lo_col), prefix_level))
-        .withColumn("_p_hi", C.s2_parent(F.col(hi_col), prefix_level))
+        ranges.withColumn("_rng", F.explode(splits))
+        .withColumn("_p_lo", C.s2_parent(F.col("_rng._lo"), prefix_level))
+        .withColumn("_p_hi", C.s2_parent(F.col("_rng._hi"), prefix_level))
         # S2 sibling prefixes at a fixed level differ by a constant stride =
         # 2 * lsb(level); sequence() enumerates the covered prefixes.
         .withColumn(
@@ -60,6 +75,6 @@ def cell_prefix_range_join(
         .withColumn("_salt", F.col("_salt").cast("int"))
     )
     joined = p.join(r, ["_prefix", "_salt"], "inner").filter(
-        (F.col(cell_col) >= F.col(lo_col)) & (F.col(cell_col) <= F.col(hi_col))
+        (F.col(cell_col) >= F.col("_rng._lo")) & (F.col(cell_col) <= F.col("_rng._hi"))
     )
-    return joined.drop("_prefix", "_salt", "_p_lo", "_p_hi")
+    return joined.drop("_prefix", "_salt", "_p_lo", "_p_hi", "_rng")

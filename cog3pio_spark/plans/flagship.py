@@ -65,11 +65,12 @@ def tiles_for_docs(docs: DataFrame, include_pixels: bool = False) -> DataFrame:
 def doc_media_refs(docs: DataFrame) -> DataFrame:
     """(doc_id, media_ref) — one row per media span.
 
-    posexplode + immediate subfield projection: Catalyst's nested-schema
-    pruning pushes (kind, media_ref) into the parquet scan so the text
-    payload is never read. Measured 4× faster than the higher-order
-    filter/transform formulation (HOF lambdas are interpreted, Generate is
-    codegen'd) — tools-profiled on the 40M-doc bench table.
+    posexplode + immediate subfield projection. NOTE (measured, CLAUDE.md):
+    Catalyst's nested-schema pruning does NOT fire through posexplode — the
+    text subfield IS read from parquet. The 4× speedup over the higher-order
+    filter/transform formulation comes from Generate being codegen'd while
+    HOF lambdas are interpreted (2.25s vs 9.6s on 72M spans) — not from
+    pruning. Acceptable here; revisit if span text grows much larger.
     """
     return (
         docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))

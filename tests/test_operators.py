@@ -218,3 +218,44 @@ def test_checkpoint_resume(spark, tmp_path):
     assert r3["written_keys"] == 2  # keys 5, 6 are new
     got = read_checkpointed(spark, base)
     assert got.count() == 100 + got.filter(F.col("part_key").isin(5, 6)).count()
+
+
+def test_pip_grid_max_extent_matches_dense(spark):
+    """ADVICE r1: a point exactly on the layer's max extent must be contained
+    by the grid-indexed path (>256 polygons) exactly like the dense path —
+    the grid clamps in-extent boundary points into the last cell."""
+    from cog3pio_spark.fixtures.polygons import polygon_schema
+
+    def square(pid, x0, y0, s=1.0):
+        ring = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        return (
+            pid,
+            [{"x": x, "y": y} for x, y in ring],
+            {"xmin": x0, "ymin": y0, "xmax": x0 + s, "ymax": y0 + s},
+        )
+
+    # 300 unit squares tiling [0,30)x[0,10) → grid path; global max = (30,10)
+    polys = [square(f"p{i:03d}", float(i % 30), float(i // 30)) for i in range(300)]
+    poly_df = spark.createDataFrame(polys, polygon_schema())
+    pts = spark.createDataFrame(
+        [
+            ("maxcorner", 30.0, 10.0),   # exactly the global bbox max
+            ("maxedge_x", 30.0, 5.5),    # on x max extent
+            ("inside", 15.5, 5.5),
+            ("beyond", 30.0001, 10.0),   # strictly outside stays rejected
+        ],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    got = {(r["pid"], r["polygon_id"]) for r in pip_join(pts, poly_df).collect()}
+    dense = {
+        (r["pid"], r["polygon_id"])
+        for r in pip_join(pts, poly_df.limit(200)).collect()  # ≤256 → dense path
+        if r["pid"] != "beyond"
+    }
+    assert ("maxcorner", "p299") in got     # boundary-inclusive at global max
+    assert ("maxedge_x", "p179") in got     # x1 edge of its row's last square
+    assert ("inside", "p165") in got
+    assert not any(p == "beyond" for p, _ in got)
+    # grid and dense agree on every point that lies within the dense subset
+    grid_subset = {(p, pid) for p, pid in got if pid in {f"p{i:03d}" for i in range(200)}}
+    assert dense == grid_subset

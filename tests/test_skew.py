@@ -89,3 +89,34 @@ def test_range_join_handles_zipf_probe(spark):
         & (F.col("s2_cell") <= int(s2.to_signed(s2.range_max(anchor))[0]))
     ).count()
     assert got == want and want >= 7000  # hot region fully matched
+
+
+def test_range_join_cross_face_sign_flip(spark):
+    """A build range spanning the face 3|4 boundary flips sign in the signed
+    int64 carrier (lo > hi). The operator must split it and still match every
+    probe cell in the unsigned interval (ADVICE r1: sequence() with positive
+    stride would throw or silently drop matches)."""
+    from cog3pio_spark.cells import s2
+    from cog3pio_spark.operators.range_join import cell_prefix_range_join
+
+    rng = np.random.RandomState(5)
+    pts = np.stack([rng.uniform(-60, 60, 4000), rng.uniform(-180, 180, 4000)], 1)
+    cells_u = s2.latlng_to_cell(pts[:, 0], pts[:, 1], 12)
+    cells = s2.to_signed(cells_u)
+    probe = spark.createDataFrame([(int(c),) for c in cells], ["s2_cell"])
+
+    # range from a face-3 anchor to a face-4 anchor: unsigned lo < hi but
+    # signed lo > 0 > hi (the sign flip)
+    a3 = s2.parent(s2.latlng_to_cell(np.array([0.0]), np.array([170.0]), 12), 7)
+    a4 = s2.parent(s2.latlng_to_cell(np.array([0.0]), np.array([-100.0]), 12), 7)
+    lo_u, hi_u = int(s2.range_min(a3)[0]), int(s2.range_max(a4)[0])
+    assert lo_u < hi_u  # unsigned interval is well-formed
+    lo, hi = int(s2.to_signed(np.array([lo_u], dtype=np.uint64))[0]), int(
+        s2.to_signed(np.array([hi_u], dtype=np.uint64))[0]
+    )
+    assert lo > 0 > hi  # the sign flip the split must handle
+    ranges = spark.createDataFrame([(0, lo, hi)], ["range_id", "range_lo", "range_hi"])
+    got = cell_prefix_range_join(probe, ranges, prefix_level=5, n_salt=4).count()
+    want = int(((cells_u >= np.uint64(lo_u)) & (cells_u <= np.uint64(hi_u))).sum())
+    assert want > 0
+    assert got == want
