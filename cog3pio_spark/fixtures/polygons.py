@@ -19,26 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def polygon_schema() -> T.StructType:
+def polygon_schema(with_holes: bool = False) -> T.StructType:
     pt = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
-    return T.StructType(
-        [
-            T.StructField("polygon_id", T.StringType(), False),
-            T.StructField("ring", T.ArrayType(pt), False),
-            T.StructField(
-                "bbox",
-                T.StructType(
-                    [
-                        T.StructField("xmin", T.DoubleType()),
-                        T.StructField("ymin", T.DoubleType()),
-                        T.StructField("xmax", T.DoubleType()),
-                        T.StructField("ymax", T.DoubleType()),
-                    ]
-                ),
-                False,
+    fields = [
+        T.StructField("polygon_id", T.StringType(), False),
+        T.StructField("ring", T.ArrayType(pt), False),
+        T.StructField(
+            "bbox",
+            T.StructType(
+                [
+                    T.StructField("xmin", T.DoubleType()),
+                    T.StructField("ymin", T.DoubleType()),
+                    T.StructField("xmax", T.DoubleType()),
+                    T.StructField("ymax", T.DoubleType()),
+                ]
             ),
-        ]
-    )
+            False,
+        ),
+    ]
+    if with_holes:
+        # interior rings (each closed); even-odd PIP excludes their interiors
+        fields.append(T.StructField("holes", T.ArrayType(T.ArrayType(pt)), True))
+    return T.StructType(fields)
 
 
 def make_polygon_rows(n: int = 16, seed: int = 42) -> list[tuple]:

@@ -86,18 +86,27 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
-def _decode_one(ref: str, include_pixels: bool, overview: int = 0) -> dict:
+def _decode_one(
+    ref: str, include_pixels: bool, overview: int = 0, fetchers: dict | None = None
+) -> dict:
     """Decode one object. ``overview`` selects the COG pyramid level (0 =
     full res, reference parity; clamped to the deepest available level) —
     the predicate-pushdown hook: a query that only needs coarse statistics
-    decodes 4^k× fewer pixels."""
+    decodes 4^k× fewer pixels. ``fetchers`` extends the scheme registry for
+    this call (rides the UDF closure to executors — driver-side
+    register_fetcher mutations do NOT propagate to workers)."""
     # imports inside the worker function: keeps the closure import-light
-    from cog3pio_spark.tiff.reader import CogReader, _path_to_bytes
+    from cog3pio_spark.tiff import reader as R
+    from cog3pio_spark.tiff.reader import CogReader
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
     row["media_ref"] = ref
     try:
-        data = _path_to_bytes(ref)
+        if fetchers:
+            scheme = ref.split("://", 1)[0] if "://" in ref else "file"
+            data = fetchers.get(scheme, R._path_to_bytes)(ref)
+        else:
+            data = R._path_to_bytes(ref)
         probe = CogReader(data)  # tag parse only; decode is lazy
         level = min(overview, probe.num_images - 1)
         reader = CogReader(data, image_index=level) if level else probe
@@ -133,19 +142,22 @@ def decode_tiles(
     include_pixels: bool = False,
     ref_col: str = "media_ref",
     overview: int = 0,
+    fetchers: dict | None = None,
 ) -> DataFrame:
     """Decode each distinct media_ref into a tile-stats row.
 
     ``refs`` should already be distinct on ``ref_col`` (call sites use
     ``dropDuplicates``); this function doesn't re-shuffle. ``overview`` is
-    pushed into the UDF (COG pyramid level selection).
+    pushed into the UDF (COG pyramid level selection). ``fetchers`` maps
+    extra url schemes to ``fn(ref) -> bytes`` resolvers (picklable; shipped
+    to executors in the UDF closure — file/http/https are built in).
     """
     refs = refs.select(ref_col)
 
     def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column(0).to_pylist()
-            rows = [_decode_one(r, include_pixels, overview) for r in col]
+            rows = [_decode_one(r, include_pixels, overview, fetchers) for r in col]
             if not rows:
                 continue
             yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)

@@ -41,14 +41,23 @@ def pack_polygons(polygons: DataFrame) -> dict:
     index in CSR form (cell → candidate polygon ids), the vectorized
     equivalent of an STRtree level. Suitable for a Spark broadcast.
     """
-    rows = polygons.select("polygon_id", "ring", "bbox").collect()
-    ids, xs, ys, offs = [], [], [], [0]
+    has_holes = "holes" in polygons.columns
+    cols = ["polygon_id", "ring", "bbox"] + (["holes"] if has_holes else [])
+    rows = polygons.select(*cols).collect()
+    ids, xs, ys, offs, eok = [], [], [], [0], []
     bxmin, bymin, bxmax, bymax = [], [], [], []
     for r in rows:
         ids.append(r["polygon_id"])
-        ring = r["ring"]
-        xs.extend(p["x"] for p in ring)
-        ys.extend(p["y"] for p in ring)
+        rings = [r["ring"]]
+        if has_holes and r["holes"]:
+            rings.extend(r["holes"])
+        for ring in rings:
+            xs.extend(p["x"] for p in ring)
+            ys.extend(p["y"] for p in ring)
+            # edges run between consecutive vertices WITHIN a ring; the slot
+            # connecting one ring's last vertex to the next ring's first is
+            # masked out (holes support: even-odd over all real ring edges)
+            eok.extend([True] * (len(ring) - 1) + [False])
         offs.append(len(xs))
         bxmin.append(r["bbox"]["xmin"])
         bymin.append(r["bbox"]["ymin"])
@@ -58,6 +67,7 @@ def pack_polygons(polygons: DataFrame) -> dict:
         "ids": np.array(ids),
         "x": np.array(xs, np.float64),
         "y": np.array(ys, np.float64),
+        "eok": np.array(eok, bool),
         "offs": np.array(offs, np.int64),
         "bxmin": np.array(bxmin, np.float64),
         "bymin": np.array(bymin, np.float64),
@@ -157,20 +167,22 @@ def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
         return pt_idx, pg_idx
     keep = np.zeros(len(pt_idx), dtype=bool)
     # exact test grouped by polygon (each group fully vectorized over that
-    # polygon's candidate points). Even-odd ray casting handles arbitrary
-    # simple rings (convex or not; holes out of scope v1); points exactly on
-    # an edge or vertex count as contained (pinned by boundary fixtures).
+    # polygon's candidate points). Even-odd ray casting over ALL rings of the
+    # polygon (outer + holes — a crossing of a hole edge toggles containment,
+    # which is exactly the even-odd hole semantics); points exactly on an
+    # outer or hole edge/vertex count as contained (boundary-inclusive).
     for pg in np.unique(pg_idx):
         sel = pg_idx == pg
         cx, cy = px[pt_idx[sel]], py[pt_idx[sel]]
         s, e = pack["offs"][pg], pack["offs"][pg + 1]
         vx, vy = pack["x"][s:e], pack["y"][s:e]
+        ok = pack["eok"][s : e - 1][None, :]  # mask inter-ring phantom edges
         x1, y1 = vx[:-1][None, :], vy[:-1][None, :]
         x2, y2 = vx[1:][None, :], vy[1:][None, :]
         pxs, pys = cx[:, None], cy[:, None]
         # crossing test: edge straddles the horizontal ray, intersection
         # strictly right of the point
-        straddle = (y1 > pys) != (y2 > pys)
+        straddle = ((y1 > pys) != (y2 > pys)) & ok
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = x1 + (pys - y1) * (x2 - x1) / (y2 - y1)
         crossings = (straddle & (pxs < xint)).sum(axis=1)
@@ -186,7 +198,7 @@ def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
             & (pys >= np.minimum(y1, y2) - 1e-9)
             & (pys <= np.maximum(y1, y2) + 1e-9)
         )
-        on_edge = ((dist2 < 1e-18 * np.maximum(seg_len2, 1.0)) & inseg).any(axis=1)
+        on_edge = ((dist2 < 1e-18 * np.maximum(seg_len2, 1.0)) & inseg & ok).any(axis=1)
         keep[sel] = inside | on_edge
     return pt_idx[keep], pg_idx[keep]
 

@@ -379,21 +379,63 @@ class CogReader:
         return x, y
 
 
-def _path_to_bytes(path: str) -> bytes:
-    """Resolve a media_ref to bytes (reference: whole-object GET, no range
-    reads — src/python/adapters.rs:158-168). Sandbox supports file paths and
-    file:// URLs only; error taxonomy mirrors adapters.rs:147-162."""
+def _fetch_file(path: str) -> bytes:
     if "://" in path:
-        scheme, rest = path.split("://", 1)
-        if scheme != "file":
-            raise TiffDecodeError(f"Cannot parse url: {path}")
-        path = "/" + rest.lstrip("/")
+        path = "/" + path.split("://", 1)[1].lstrip("/")
     if path.startswith("\\") or "\x00" in path:
         raise TiffDecodeError(f"Cannot parse path: {path}")
     if not os.path.exists(path):
         raise FileNotFoundError(f"Cannot find file: {path}")
     with open(path, "rb") as f:
         return f.read()
+
+
+def _fetch_http(url: str) -> bytes:
+    """Whole-object GET, mirroring the reference's object_store fetch
+    (src/python/adapters.rs:158-168 — full body, no range reads). The
+    sandbox has no network; the plumbing is real and errors surface on the
+    decode error channel."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+            return resp.read()
+    except urllib.error.URLError as exc:
+        raise TiffDecodeError(f"Cannot fetch url: {url} ({exc.reason})") from exc
+
+
+# scheme → fetcher; extend via register_fetcher (e.g. s3 through a client
+# created lazily per executor). Every fetcher is whole-object (R1 parity).
+_FETCHERS: dict[str, object] = {
+    "file": _fetch_file,
+    "http": _fetch_http,
+    "https": _fetch_http,
+}
+
+
+def register_fetcher(scheme: str, fn) -> None:
+    """Plug a media_ref scheme resolver: ``fn(ref: str) -> bytes``.
+
+    Called inside the decode UDF on executors — ``fn`` must be picklable
+    (module-level function or functools.partial over picklable state).
+    """
+    _FETCHERS[scheme] = fn
+
+
+def _path_to_bytes(path: str) -> bytes:
+    """Resolve a media_ref to bytes (reference: whole-object GET, no range
+    reads — src/python/adapters.rs:158-168). Scheme-dispatched through the
+    pluggable fetcher registry; error taxonomy mirrors adapters.rs:147-162
+    ("Cannot parse url:" for unknown schemes, "Cannot find file:" for
+    missing local paths)."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        fetch = _FETCHERS.get(scheme)
+        if fetch is None:
+            raise TiffDecodeError(f"Cannot parse url: {path}")
+        return fetch(path)
+    return _fetch_file(path)
 
 
 def read_geotiff(path: str, dtype: str | None = "float32") -> np.ndarray:

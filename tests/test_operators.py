@@ -259,3 +259,48 @@ def test_pip_grid_max_extent_matches_dense(spark):
     # grid and dense agree on every point that lies within the dense subset
     grid_subset = {(p, pid) for p, pid in got if pid in {f"p{i:03d}" for i in range(200)}}
     assert dense == grid_subset
+
+
+def test_pip_join_polygon_with_holes(spark):
+    """Donut polygon: points in the hole are NOT contained; points in the
+    ring body are; points exactly on the hole boundary are (inclusive)."""
+    from cog3pio_spark.fixtures.polygons import polygon_schema
+
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    poly = spark.createDataFrame(
+        [(
+            "donut",
+            [{"x": x, "y": y} for x, y in outer],
+            {"xmin": 0.0, "ymin": 0.0, "xmax": 10.0, "ymax": 10.0},
+            [[{"x": x, "y": y} for x, y in hole]],
+        )],
+        polygon_schema(with_holes=True),
+    )
+    pts = spark.createDataFrame(
+        [
+            ("in_hole", 5.0, 5.0),
+            ("in_body", 2.0, 2.0),
+            ("on_hole_edge", 4.0, 5.0),
+            ("on_outer_edge", 0.0, 5.0),
+            ("right_of_hole", 8.0, 5.0),   # ray from here misses the hole
+            ("left_of_hole", 2.0, 5.0),    # ray crosses hole edges twice
+            ("outside", 11.0, 5.0),
+        ],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    got = {r["pid"] for r in pip_join(pts, poly).collect()}
+    assert got == {"in_body", "on_hole_edge", "on_outer_edge",
+                   "right_of_hole", "left_of_hole"}
+
+
+def test_pip_join_holes_backward_compatible(spark):
+    """Layers without a holes column keep the exact round-1 behavior."""
+    from cog3pio_spark.fixtures.polygons import make_polygon_rows, polygon_schema
+
+    poly = spark.createDataFrame(make_polygon_rows(20), polygon_schema())
+    pts = spark.createDataFrame(
+        [("a", 500000.0, 5300000.0), ("b", 99.0, 99.0)],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    pip_join(pts, poly).collect()  # no schema errors, hole-free pack path

@@ -201,3 +201,48 @@ def test_java_imageio_interop():
         assert r.byte_order == ">"
         assert r.compression == comp
         np.testing.assert_array_equal(r.to_numpy()[0], exp)
+
+
+def test_pluggable_fetcher_through_decode(spark):
+    """Custom scheme fetchers ride the UDF closure to executors (R1 fetch
+    path made pluggable): a mem:// fetcher serves bytes from a dict; an
+    unknown scheme yields the reference-shaped 'Cannot parse url:' error."""
+    import io
+
+    from cog3pio_spark.operators.decode import decode_tiles
+    from cog3pio_spark.tiff.writer import write_tiff
+    import tempfile, os as _os
+
+    d = tempfile.mkdtemp()
+    p = _os.path.join(d, "m.tif")
+    arr = (np.arange(1, 151, dtype=np.float32) / 7.0).reshape(1, 10, 15)
+    write_tiff(p, arr)
+    blobs = {"mem://tile/1": open(p, "rb").read()}
+
+    def mem_fetch(ref, _blobs=blobs):
+        return _blobs[ref]
+
+    refs = spark.createDataFrame(
+        [("mem://tile/1",), ("bogus://x",)], ["media_ref"]
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in decode_tiles(refs, fetchers={"mem": mem_fetch}).collect()
+    }
+    ok = rows["mem://tile/1"]
+    assert ok["status"] == "ok" and ok["dtype"] == "float32"
+    assert abs(ok["mean"] - float(arr.mean())) < 1e-6
+    bad = rows["bogus://x"]
+    assert bad["status"] == "error" and "Cannot parse url" in bad["error_msg"]
+
+
+def test_http_fetcher_error_taxonomy():
+    """https scheme is routed to the whole-object GET fetcher; without
+    network the failure surfaces as a clean 'Cannot fetch url:' error (never
+    a crash), and unknown schemes keep 'Cannot parse url:'."""
+    from cog3pio_spark.tiff.reader import TiffDecodeError, _path_to_bytes
+
+    with pytest.raises(TiffDecodeError, match="Cannot (fetch|parse) url"):
+        _path_to_bytes("https://127.0.0.1:1/never.tif")
+    with pytest.raises(TiffDecodeError, match="Cannot parse url"):
+        _path_to_bytes("s3://bucket/key.tif")
