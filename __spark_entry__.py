@@ -569,6 +569,19 @@ def q36_ivf_topk(spark, sf):
     return ivf_topk(emb, q, dim=64, k=5, n_centroids=16, nprobe=4)
 
 
+def q48_ivf2_topk(spark, sf):
+    """Two-level IVF approximate top-k (rows-only: approximate; recall pinned
+    vs brute in tests/test_training_ops.py::test_ivf2_topk_recall)."""
+    from cog3pio_spark.operators.ann import ivf2_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf2_topk(emb, q, dim=64, k=5, n_coarse=8, n_fine=4,
+                     nprobe_coarse=3, nprobe_fine=3)
+
+
 def q37_docs_per_cell(spark, sf):
     """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
     rows-only: cell ids not SQL-expressible)."""
@@ -767,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_ann_topk": q17_ann_topk,
         "q18_embedding_top_pairs": q18_embedding_top_pairs,
         "q47_top_pairs_blocked": q47_top_pairs_blocked,
+        "q48_ivf2_topk": q48_ivf2_topk,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,

@@ -127,3 +127,42 @@ def windowed_media_counts(docs_stream: DataFrame, window: str = "10 minutes") ->
         .groupBy(F.window("ingest_ts", window).alias("win"), F.col("span.media_ref").alias("media_ref"))
         .agg(F.count("*").alias("n_spans"))
     )
+
+
+def streaming_knn(
+    query_stream: DataFrame,
+    points: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    res: int = 7,
+    ring: int = 2,
+) -> None:
+    """Streaming kNN: each micro-batch of query points runs the SAME ring
+    kNN operator as batch (operators/knn.knn_join) against the static point
+    table via foreachBatch — exact stream/batch parity by construction
+    (top-k-per-query ranking isn't expressible as a pure streaming agg, so
+    micro-batch enrichment is the idiomatic shape). Resume comes from the
+    stream checkpoint: replayed batches are not reprocessed.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (worker import)
+
+    from cog3pio_spark.operators.knn import knn_join
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (
+            knn_join(df, points, k=k, res=res, ring=ring)
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        query_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -118,3 +119,43 @@ def test_available_now_drains_and_resumes(spark, doc_files, tmp_path):
     )
     diff = batch.exceptAll(got.select("doc_id", "pos", "media_ref")).count()
     assert diff == 0
+
+
+def test_streaming_knn_matches_batch(spark, tmp_path):
+    """foreachBatch kNN: streamed queries produce EXACTLY the batch ring-kNN
+    rows; a checkpoint-resumed second run reprocesses nothing."""
+    from cog3pio_spark.operators.knn import knn_join
+    from cog3pio_spark.streaming.ingest import streaming_knn
+
+    rng = np.random.RandomState(31)
+    pts = np.stack([rng.normal(47, 0.05, 300), rng.normal(8, 0.05, 300)], 1)
+    points = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        ["point_id", "lat", "lng"],
+    )
+    qrows = [(j, float(pts[j * 29][0]), float(pts[j * 29][1])) for j in range(8)]
+    qdir = str(tmp_path / "qin")
+    spark.createDataFrame(qrows, ["query_id", "lat", "lng"]).write.parquet(qdir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("query_id long, lat double, lng double").parquet(qdir)
+    streaming_knn(stream, points, out, ckpt, k=3, res=6, ring=2)
+
+    got = {
+        (r["query_id"], r["rank"], r["point_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["query_id"], r["rank"], r["point_id"])
+        for r in knn_join(
+            spark.createDataFrame(qrows, ["query_id", "lat", "lng"]),
+            points, k=3, res=6, ring=2,
+        ).collect()
+    }
+    assert got == batch and len(batch) == 8 * 3
+
+    # resume: same checkpoint, no new input → no duplicate rows appended
+    stream2 = spark.readStream.schema("query_id long, lat double, lng double").parquet(qdir)
+    streaming_knn(stream2, points, out, ckpt, k=3, res=6, ring=2)
+    assert spark.read.parquet(out).count() == 8 * 3

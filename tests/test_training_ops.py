@@ -298,3 +298,23 @@ def test_doc_table_fallback_partition_pruning(spark, tmp_path):
     # pruned read touches exactly the one bucket's rows
     n3 = back.filter(F.col("_bucket") == 3).count()
     assert probe.count() == n3 and 0 < n3 < 400
+
+
+def test_ivf2_topk_recall(spark):
+    """Two-level IVF: planted near-dups must be retrieved (they share the
+    query's coarse+fine list); recall vs brute force high on clustered data."""
+    from cog3pio_spark.operators.ann import brute_force_topk, ivf2_topk
+
+    rng = np.random.RandomState(23)
+    mat = rng.randn(500, 16)
+    qv = rng.randn(16)
+    for i in range(6):
+        mat[i] = qv + rng.randn(16) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(500)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(9, [float(x) for x in qv])], ["query_id", "embedding"])
+    got = ivf2_topk(df, qdf, dim=16, k=6, n_coarse=6, n_fine=4,
+                    nprobe_coarse=2, nprobe_fine=2)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids & {0, 1, 2, 3, 4, 5}) >= 5
