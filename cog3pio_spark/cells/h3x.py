@@ -16,7 +16,21 @@ Cells are anchored to the 6 S2 cube faces via gnomonic (u,v) projection
 (cells/s2.py) rather than the 20-face icosahedron; ids are NOT numerically
 h3-compatible (no h3 library exists in-sandbox to compare against — SURVEY
 §7 hard-part 1). Cross-face rings are truncated at face edges; the kNN
-operator compensates with its sort-merge fallback (operators/knn.py).
+operator compensates with its sort-merge fallback and caps its exactness
+certificate at face edges (operators/knn.py).
+
+Round-2 decision on libh3 bit-compatibility (VERDICT r1 "Next" #6): NOT
+attempted. True bit-compat requires libh3's canonical data tables — the
+122-base-cell table (home face/IJK/pentagon flags) and the per-face
+[face][i][j][k] → (base cell, ccw rotations) lookup — which are arbitrary
+implementation constants, not derivable from the spec's geometry. Without
+network access to the canonical tables, a from-memory reconstruction would
+emit silently-wrong ids on external joins — strictly worse than this
+documented own-system, which fails loudly (disjoint id spaces, empty
+joins). Interop path for a real deployment: ship the cell assignment as a
+pluggable indexer and register libh3 (or the published tables) where
+available; every operator above this module keys on opaque int64 cells and
+is indexer-agnostic.
 
 id layout (int64, zero sign bit):
     [1 zero][4 bits res][3 bits face][28 bits i+OFF][28 bits j+OFF]

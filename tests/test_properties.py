@@ -73,6 +73,7 @@ def test_pip_raycast_matches_scalar_oracle(k, seed, spike):
     ys = [p[1] for p in ring]
     pack = {
         "ids": np.array(["r"]), "x": np.array(xs), "y": np.array(ys),
+        "eok": np.array([True] * (len(xs) - 1) + [False]),
         "offs": np.array([0, len(xs)]),
         "bxmin": np.array([min(xs)]), "bymin": np.array([min(ys)]),
         "bxmax": np.array([max(xs)]), "bymax": np.array([max(ys)]),
