@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q36_ivf_topk",
     "q38_curation",
     "q39_tile_covering",
+    "q43_knn_sort_merge",
+    "q47_top_pairs_blocked",
+    "q48_ivf2_topk",
 ]
 
 

@@ -318,3 +318,25 @@ def test_ivf2_topk_recall(spark):
                     nprobe_coarse=2, nprobe_fine=2)
     ids = {r["vec_id"] for r in got.collect()}
     assert len(ids & {0, 1, 2, 3, 4, 5}) >= 5
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """probe_bits=1 recall ⊇ single-bucket recall on planted near-dups, and
+    the single-bucket path (probe_bits=0) is unchanged."""
+    rng = np.random.RandomState(41)
+    mat = rng.randn(400, 16)
+    qv = rng.randn(16)
+    for i in range(8):
+        mat[i] = qv + rng.randn(16) * 0.05  # looser dups: some cross planes
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(5, [float(x) for x in qv])], ["query_id", "embedding"])
+    base = {r["vec_id"] for r in lsh_topk(df, qdf, dim=16, k=8, n_planes=10).collect()}
+    multi = {
+        r["vec_id"]
+        for r in lsh_topk(df, qdf, dim=16, k=8, n_planes=10, probe_bits=1).collect()
+    }
+    planted = set(range(8))
+    assert len(multi & planted) >= len(base & planted)
+    assert len(multi & planted) >= 6  # multiprobe finds most planted dups
