@@ -272,7 +272,7 @@ def q14_text_features(spark, sf):
     from cog3pio_spark.operators.text import text_features
 
     return text_features(_t(spark, sf, "documents")).select(
-        "doc_id", "n_tokens", "stopword_ratio", "quality", "lang_pred"
+        "doc_id", "n_tokens", "n_bpe_tokens", "stopword_ratio", "quality", "lang_pred"
     )
 
 
@@ -947,6 +947,9 @@ def oracle_sql() -> dict[str, str]:
         "q14_text_features": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS}) END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'
+                   )) AS n_bpe_tokens,
                    round(len(list_filter({_WORDS}, w -> w in {_STOPW}))
                          / greatest(len({_WORDS}), 1), 6) AS stopword_ratio,
                    round(

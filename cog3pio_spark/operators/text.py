@@ -34,6 +34,20 @@ def token_count(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the subset both
+# Java regex and DuckDB's RE2 support — no lookahead): common English
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs. Whitespace itself is not a token.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Tokenizer-shaped count: matches of the BPE-ish pre-tokenizer regex
+    (task brief: "token counting (whitespace + a BPE-ish regex)"). Pure
+    JVM-side regexp_count — codegen, no UDF."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(BPE_PATTERN))
+
+
 def punct_ratio(text: Column) -> Column:
     stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
     return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
@@ -92,6 +106,7 @@ def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumns(
         {
             "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
             "punct_ratio": F.round(punct_ratio(t), 6),
             "stopword_ratio": F.round(stopword_ratio(t), 6),
             "quality": quality_score(t),
