@@ -582,6 +582,31 @@ def q48_ivf2_topk(spark, sf):
                      nprobe_coarse=3, nprobe_fine=3)
 
 
+def q49_resize_media(spark, sf):
+    """Real TIFF resize over the fixture COGs via binaryFile scan +
+    mapInPandas (rows-only: binary payloads; pixel exactness pinned in
+    tests/test_training_ops.py::test_resize_media_real_tiff)."""
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.operators.multimodal import resize_media
+
+    rows = ensure_fixtures()
+    fdir = os.path.dirname(rows[0]["media_ref"].replace("file://", ""))
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(fdir + "/*.tif")
+        .select(
+            F.regexp_replace("path", r"^file:.*/cogs/", "").alias("media_id"),
+            F.col("content").alias("blob"),
+        )
+    )
+    return (
+        resize_media(blobs, 16, 16)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.count("resized").alias("n_payloads"))
+        .orderBy("status")
+    )
+
+
 def q37_docs_per_cell(spark, sf):
     """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
     rows-only: cell ids not SQL-expressible)."""
@@ -781,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_embedding_top_pairs": q18_embedding_top_pairs,
         "q47_top_pairs_blocked": q47_top_pairs_blocked,
         "q48_ivf2_topk": q48_ivf2_topk,
+        "q49_resize_media": q49_resize_media,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,

@@ -340,3 +340,30 @@ def test_lsh_multiprobe_improves_recall(spark):
     planted = set(range(8))
     assert len(multi & planted) >= len(base & planted)
     assert len(multi & planted) >= 6  # multiprobe finds most planted dups
+
+
+def test_resize_media_real_tiff(spark, tmp_path):
+    """resize_media REALLY resizes TIFF blobs (in-repo codec): dims change,
+    dtype/bands preserved, resampled pixels exact vs the numpy oracle;
+    non-TIFF blobs get the honest unsupported row."""
+    from cog3pio_spark.operators.multimodal import resize_media
+    from cog3pio_spark.tiff.reader import CogReader
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    arr = (np.arange(2 * 40 * 60).reshape(2, 40, 60) % 251).astype("uint8")
+    p = str(tmp_path / "r.tif")
+    write_tiff(p, arr, compression="lzw")
+    rows = [("t1", open(p, "rb").read()), ("p1", b"\x89PNG\r\n" + b"x" * 40)]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    got = {r["media_id"]: r for r in resize_media(df, 30, 20).collect()}
+
+    ok = got["t1"]
+    assert ok["status"] == "ok" and (ok["width"], ok["height"]) == (30, 20)
+    back = CogReader(bytes(ok["resized"])).to_numpy()
+    assert back.shape == (2, 20, 30) and back.dtype == arr.dtype
+    yi = ((np.arange(20) + 0.5) * 40 / 20).astype(int)
+    xi = ((np.arange(30) + 0.5) * 60 / 30).astype(int)
+    np.testing.assert_array_equal(back, arr[:, yi][:, :, xi])
+
+    bad = got["p1"]
+    assert bad["status"] == "unsupported" and "TIFF" in bad["error_msg"]
