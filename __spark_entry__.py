@@ -1043,6 +1043,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs
             ) WHERE rank <= 20
         """,
+        # q26: features are a vectorized numpy byte histogram; element 15 is
+        # the byte MEAN, which for this (verified pure-ASCII) corpus equals
+        # the average character codepoint — SQL-expressible in DuckDB
+        "q26_multimodal_features": """
+            WITH b AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                       CASE WHEN octet_length(encode(text)) = 0
+                            THEN 'empty' ELSE 'raw-bytes' END AS media_type,
+                       text
+                FROM documents
+            ), m AS (
+                SELECT media_id, round(avg(ord(substr(text, i, 1))), 6) AS byte_mean
+                FROM b, UNNEST(generate_series(1, length(text))) t(i)
+                GROUP BY media_id
+            )
+            SELECT b.media_id, b.media_type,
+                   COALESCE(m.byte_mean, 0.0) AS byte_mean
+            FROM b LEFT JOIN m USING (media_id)
+        """,
         # q47 = LSH-blocked variant; deterministically equal to the exact
         # top pairs at sf0.01 (seed-fixed), so it shares q18's exact oracle
         "q47_top_pairs_blocked": """
@@ -1066,6 +1085,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pts JOIN boxes
               ON pts.lng >= x0 AND pts.lng <= x1 AND pts.lat >= y0 AND pts.lat <= y1
             GROUP BY polygon_id ORDER BY polygon_id
+        """,
+        # q21: ring kNN for every 100th customer. The ring join is exact
+        # whenever ring coverage holds (q35 pins 0 ring-vs-exact
+        # disagreements); this exact haversine oracle makes the driver gate
+        # itself the exactness regression check.
+        "q21_knn_ring": f"""
+            WITH pts AS (
+                SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
+            ), q AS (
+                SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
+                FROM pts WHERE c_custkey % 100 = 0
+            ), d AS (
+                SELECT q.query_id, p.c_custkey AS point_id,
+                       2.0 * 6378137.0 * asin(sqrt(
+                           pow(sin(radians(p.lat - q.q_lat) / 2), 2)
+                           + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                             * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
+                       )) AS dist_m
+                FROM q CROSS JOIN pts p
+            )
+            SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY dist_m ASC, point_id ASC) AS rank
+                FROM d
+            ) WHERE rank <= 5
         """,
         "q20_knn": f"""
             WITH pts AS (
