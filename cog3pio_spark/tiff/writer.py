@@ -68,6 +68,7 @@ def lzw_encode(data: bytes) -> bytes:
         while bitcnt >= 8:
             out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
             bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1  # keep only unemitted bits (bigint guard)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258

@@ -156,3 +156,23 @@ def test_tiff_roundtrip_any_shape(h, w, dtype, tiled, deflate):
         )
         got = CogReader(open(f.name, "rb").read()).to_numpy()
     np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lzw_roundtrip_property(data):
+    """Arbitrary bytes survive TIFF-LZW encode→decode (hypothesis)."""
+    from cog3pio_spark.tiff.reader import _lzw_decode
+    from cog3pio_spark.tiff.writer import lzw_encode
+
+    assert _lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_packbits_roundtrip_property(data):
+    """Arbitrary bytes survive PackBits encode→decode (hypothesis)."""
+    from cog3pio_spark.tiff.reader import _packbits_decode
+    from cog3pio_spark.tiff.writer import packbits_encode
+
+    assert _packbits_decode(packbits_encode(data)) == data
