@@ -293,7 +293,10 @@ class CogReader:
             th = int(t[W.TILE_LENGTH][0])
             offs, counts = t[W.TILE_OFFSETS], t[W.TILE_BYTE_COUNTS]
             tiles_x = (self.width + tw - 1) // tw
-            out = np.zeros((self.height, self.width, self.samples), self.dtype)
+            # assemble band-major DIRECTLY: per-tile transposes are
+            # cache-resident, while one whole-image strided moveaxis copy
+            # measured 2.8 s on a 362 MB image (decode_bench profile)
+            out = np.zeros((self.samples, self.height, self.width), self.dtype)
             for idx, (off, cnt) in enumerate(zip(offs, counts)):
                 ty, tx = divmod(idx, tiles_x)
                 y0, x0 = ty * th, tx * tw
@@ -307,11 +310,17 @@ class CogReader:
                 tile = self._unpredict(tile.reshape(th, tw, self.samples))
                 h = min(th, self.height - y0)
                 w = min(tw, self.width - x0)
-                out[y0 : y0 + h, x0 : x0 + w, :] = tile[:h, :w, :]
+                out[:, y0 : y0 + h, x0 : x0 + w] = np.moveaxis(
+                    tile[:h, :w, :], -1, 0
+                )
+            if self.bands != self.samples:  # corrupt band/sample mismatch
+                raise TiffDecodeError(
+                    f"failed to convert vector of size "
+                    f"{out.size} to shape [{self.bands}, {self.height}, {self.width}]"
+                )
             if window is not None:
-                crop = out[wy0:wy1, wx0:wx1, :]
-                return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
-            flat = out.ravel()
+                return np.ascontiguousarray(out[:, wy0:wy1, wx0:wx1])
+            return out
         else:
             offs, counts = t[W.STRIP_OFFSETS], t[W.STRIP_BYTE_COUNTS]
             rows_per_strip = int(t.get(W.ROWS_PER_STRIP, [self.height])[0])
