@@ -607,6 +607,19 @@ def q49_resize_media(spark, sf):
     )
 
 
+def q50_pq_topk(spark, sf):
+    """Product-quantized ADC top-k (rows-only: approximate; recall pinned in
+    tests). The scan side carries m uint8 codes per vector — the
+    100 TB embedding-compression path."""
+    from cog3pio_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, q, dim=64, k=5, m=8)
+
+
 def q37_docs_per_cell(spark, sf):
     """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
     rows-only: cell ids not SQL-expressible)."""
@@ -807,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_top_pairs_blocked": q47_top_pairs_blocked,
         "q48_ivf2_topk": q48_ivf2_topk,
         "q49_resize_media": q49_resize_media,
+        "q50_pq_topk": q50_pq_topk,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,

@@ -477,3 +477,112 @@ def embedding_dupes(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
     return pairs
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 277,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (normalized) vector into
+    ``m`` contiguous subspaces of dim/m and k-means each on a fixed sample.
+    Returns (m, k, dim/m). Deterministic (seeded, fixed iterations) like the
+    IVF trainers. At 100 TB this is the storage story: a 64-float embedding
+    becomes m uint8 codes (32x smaller), scored without decompression."""
+    assert dim % m == 0, "dim must be divisible by m"
+    sub = dim // m
+    rows = vectors.select(vec_col).limit(sample).collect()
+    mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        part = mat[:, j * sub : (j + 1) * sub]
+        kk = min(k, len(part))
+        cents = part[rng.choice(len(part), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = ((part[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = part[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, :kk] = cents
+        if kk < k:
+            books[j, kk:] = cents[rng.randint(0, kk, size=k - kk)]
+    return books
+
+
+def pq_encode(vec: F.Column, books: np.ndarray) -> F.Column:
+    """ARRAY<SHORT> of per-subspace code ids (m entries, each < 256)."""
+    m, k, sub = books.shape
+
+    @pandas_udf(T.ArrayType(T.ShortType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mat = _normalize(np.vstack(vecs.to_numpy()))
+        out = np.zeros((len(mat), m), dtype=np.int16)
+        for j in range(m):
+            part = mat[:, j * sub : (j + 1) * sub]
+            d2 = (
+                (part**2).sum(axis=1, keepdims=True)
+                - 2.0 * part @ books[j].T
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            out[:, j] = d2.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(out))
+
+    return _enc(vec)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ-compressed vectors (asymmetric
+    distance computation): each query builds an (m, 256) inner-product
+    lookup table against the codebooks; a compressed vector's score is the
+    sum of m table lookups — no decompression, no float vectors at scan
+    time. The scan side carries only the m-byte codes: at 10^9+ vectors
+    this is the shape that fits an embedding table in cluster memory."""
+    books = train_pq_codebooks(vectors, dim, m=m, vec_col=vec_col)
+    sub = books.shape[2]
+    enc = vectors.select(id_col, pq_encode(F.col(vec_col), books).alias("pq"))
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
+    # LUT[q, j, c] = <q_subvector_j, codeword_jc>  (cosine via normalized q
+    # and codeword reconstruction of the normalized data vector)
+    lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub), books)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _adc(codes: pd.Series) -> pd.Series:
+        cc = np.vstack(codes.to_numpy()).astype(np.int64)  # (batch, m)
+        j_idx = np.arange(m)[None, :]
+        # scores[b, q] = sum_j LUT[q, j, codes[b, j]]
+        scores = lut[:, j_idx, cc].sum(axis=2)  # (n_q, batch)
+        return pd.Series(list(np.round(scores.T, 6)))
+
+    scored = enc.select(
+        F.col(id_col), F.posexplode(_adc(F.col("pq"))).alias("q_idx", "score")
+    )
+    qmap = F.array(*[F.lit(int(q)) for q in qids])
+    scored = scored.withColumn("query_id", F.element_at(qmap, F.col("q_idx") + 1)).drop(
+        "q_idx"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.col("score").alias("pq_score"))
+    )

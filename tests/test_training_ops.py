@@ -367,3 +367,22 @@ def test_resize_media_real_tiff(spark, tmp_path):
 
     bad = got["p1"]
     assert bad["status"] == "unsupported" and "TIFF" in bad["error_msg"]
+
+
+def test_pq_topk_recall(spark):
+    """Product-quantized ADC top-k: planted near-dups of the query must
+    dominate the top-k despite 8x compression (codes only at scan time)."""
+    from cog3pio_spark.operators.ann import pq_topk
+
+    rng = np.random.RandomState(53)
+    mat = rng.randn(500, 16)
+    qv = rng.randn(16)
+    for i in range(6):
+        mat[i] = qv + rng.randn(16) * 0.02
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(500)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(3, [float(x) for x in qv])], ["query_id", "embedding"])
+    got = pq_topk(df, qdf, dim=16, k=6, m=4)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids & {0, 1, 2, 3, 4, 5}) >= 5
