@@ -565,24 +565,43 @@ def pq_topk(
     # and codeword reconstruction of the normalized data vector)
     lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub), books)
 
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def _adc(codes: pd.Series) -> pd.Series:
-        cc = np.vstack(codes.to_numpy()).astype(np.int64)  # (batch, m)
-        j_idx = np.arange(m)[None, :]
-        # scores[b, q] = sum_j LUT[q, j, codes[b, j]]
-        scores = lut[:, j_idx, cc].sum(axis=2)  # (n_q, batch)
-        return pd.Series(list(np.round(scores.T, 6)))
+    # partial top-k per Arrow batch (top-k is a monoid: per-batch top-k then
+    # global top-k == global top-k). The shuffle into the final per-query
+    # window therefore carries ≤ batches·|queries|·k rows instead of
+    # |vectors|·|queries| — the difference between a merge and a full-table
+    # shuffle at 10⁹ vectors.
+    from typing import Iterator as _It
 
-    scored = enc.select(
-        F.col(id_col), F.posexplode(_adc(F.col("pq"))).alias("q_idx", "score")
+    part_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("pq_score", T.DoubleType()),
+        ]
     )
-    qmap = F.array(*[F.lit(int(q)) for q in qids])
-    scored = scored.withColumn("query_id", F.element_at(qmap, F.col("q_idx") + 1)).drop(
-        "q_idx"
+
+    def _adc_partial_topk(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        j_idx = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cc = np.vstack(pdf["pq"].to_numpy()).astype(np.int64)  # (batch, m)
+            ids = pdf[id_col].to_numpy()
+            scores = np.round(lut[:, j_idx, cc].sum(axis=2), 6)  # (n_q, batch)
+            out = {"query_id": [], id_col: [], "pq_score": []}
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -scores[qi]))[:k]
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out[id_col].extend(ids[order].tolist())
+                out["pq_score"].extend(scores[qi][order].tolist())
+            yield pd.DataFrame(out)
+
+    scored = enc.mapInPandas(_adc_partial_topk, part_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, F.col("score").alias("pq_score"))
+        .select("query_id", "rank", id_col, "pq_score")
     )
