@@ -43,21 +43,41 @@ def brute_force_topk(
     binary); scoring is one numpy matmul per Arrow batch.
     Returns (query_id, rank, vec_id, cosine).
     """
+    from typing import Iterator as _It
+
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
 
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def scores(vecs: pd.Series) -> pd.Series:
-        mat = _normalize(np.vstack(vecs.to_numpy()))
-        sims = mat @ qmat.T  # (batch, n_queries)
-        return pd.Series(list(sims))
-
-    scored = vectors.select(
-        F.col(id_col), F.posexplode(scores(F.col(vec_col))).alias("q_idx", "cosine")
+    # partial top-k per Arrow batch (exact: top-k is a monoid), so the
+    # final per-query window ranks ≤ batches·|queries|·k rows instead of
+    # shuffling every (vector, query) score — the 10⁹-vector-safe shape.
+    # Ordering uses UNROUNDED cosine (matching the oracle's ORDER BY);
+    # rounding happens only on the emitted value.
+    part_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    qmap = F.array(*[F.lit(int(q)) for q in qids])
-    scored = scored.withColumn("query_id", F.element_at(qmap, F.col("q_idx") + 1)).drop(
-        "q_idx"
+
+    def _partial_topk(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.vstack(pdf[vec_col].to_numpy()))
+            ids = pdf[id_col].to_numpy()
+            sims = qmat @ mat.T  # (n_q, batch) — unrounded for ordering
+            out = {"query_id": [], id_col: [], "cosine": []}
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sims[qi]))[:k]
+                out["query_id"].extend([int(qids[qi])] * len(order))
+                out[id_col].extend(ids[order].tolist())
+                out["cosine"].extend(sims[qi][order].tolist())
+            yield pd.DataFrame(out)
+
+    scored = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _partial_topk, part_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
