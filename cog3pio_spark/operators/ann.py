@@ -89,6 +89,32 @@ def brute_force_topk(
     )
 
 
+def _two_stage_topk(
+    scored: DataFrame, k: int, query_id_col: str, id_col: str, score_col: str = "cosine"
+) -> DataFrame:
+    """Per-query top-k without funneling all of a query's candidates into
+    one window task: stage 1 ranks within (query, physical partition) —
+    parallel — keeping ≤ k rows per partition; stage 2 ranks the ≤
+    partitions·k survivors. Top-k is a monoid, so the result is identical
+    to a single global per-query window (ties broken the same way in both
+    stages). This is the hot-partition fix for skewed/huge candidate sets
+    (a popular IVF list at 10⁹ vectors lands ~10⁸ candidate rows on one
+    query's window task otherwise)."""
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(query_id_col, "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_udf():
     """Pairwise cosine as a reusable pandas_udf (defined at module scope so
     string type hints resolve)."""
@@ -265,11 +291,8 @@ def lsh_topk(
         q.select(F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("_qv"))
     ).join(v.select(id_col, "bucket", vec_col), "bucket")
     scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col(vec_col)))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    return _two_stage_topk(scored, k, query_id_col, id_col).select(
+        query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -347,11 +370,8 @@ def ivf_topk(
         q.select(query_id_col, "ivf_list", F.col(vec_col).alias("_qv"))
     ).join(v.select(id_col, "ivf_list", vec_col), "ivf_list")
     scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col(vec_col)))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    return _two_stage_topk(scored, k, query_id_col, id_col).select(
+        query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -455,13 +475,10 @@ def ivf2_topk(
         q.select(query_id_col, "ivf_list", F.col(vec_col).alias("_qv"))
     ).join(v.select(id_col, "ivf_list", vec_col), "ivf_list")
     scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col(vec_col)))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     # no dedupe needed: every vector lives in exactly one flat list, so a
     # (query, vector) candidate pair occurs at most once across probes
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+    return _two_stage_topk(scored, k, query_id_col, id_col).select(
+        query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine")
     )
 
 
