@@ -620,6 +620,20 @@ def q50_pq_topk(spark, sf):
     return pq_topk(emb, q, dim=64, k=5, m=8)
 
 
+def q51_embedding_dupes(spark, sf):
+    """LSH-blocked embedding near-dup pairs at cosine >= 0.45 (rows-only:
+    LSH-blocked recall is probabilistic; blocking shape = equi-join on
+    hyperplane bucket, never all-pairs). Threshold sits just under the
+    corpus's top-pair cosine (~0.51) so the query returns a small
+    deterministic set on the seeded data."""
+    from cog3pio_spark.operators.ann import embedding_dupes
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_dupes(emb, dim=64, threshold=0.45, n_planes=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q37_docs_per_cell(spark, sf):
     """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
     rows-only: cell ids not SQL-expressible)."""
@@ -821,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ivf2_topk": q48_ivf2_topk,
         "q49_resize_media": q49_resize_media,
         "q50_pq_topk": q50_pq_topk,
+        "q51_embedding_dupes": q51_embedding_dupes,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,
