@@ -149,13 +149,19 @@ def top_cosine_pairs_blocked(
     dim: int,
     top_n: int = 20,
     n_tables: int = 16,
-    n_planes: int = 2,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Globally top-N most-similar pairs via multi-table LSH blocking — the
     scale path for ``top_cosine_pairs`` (VERDICT r1 #6: the exact variant is
     an O(n²) theta join, fatal beyond test scale).
+
+    ``n_planes=None`` (default) sizes the tables from the corpus: planes =
+    max(2, ceil(log2(n/256))) targets ~256-row buckets, which keeps
+    2^planes ≫ n_tables (the subquadratic condition below) at any real
+    scale and never relies on the oversized-bucket cap; small corpora get
+    the recall-friendly 2-plane tables the sf0.01 oracle is pinned against.
 
     Shape: each vector lands in ``n_tables`` independent hyperplane buckets
     (one UDF emitting all table buckets, exploded); candidates are the
@@ -174,6 +180,9 @@ def top_cosine_pairs_blocked(
     reliably; raise n_planes with log2(n) and accept probabilistic recall,
     or fall back to the exact variant.
     """
+    if n_planes is None:
+        n_rows = vectors.count()
+        n_planes = min(30, max(2, int(np.ceil(np.log2(max(2.0, n_rows / 256.0))))))
     rng = np.random.RandomState(101)
     planes = rng.randn(dim, n_tables * n_planes)
     pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
@@ -263,22 +272,26 @@ def lsh_topk(
     Both sides get a bucket id; candidates = equi-join on bucket. Recall is
     tuned by n_planes (fewer planes → bigger buckets → higher recall/cost)
     and ``probe_bits`` (r2 multi-probe, VERDICT r1: recall was single-bucket
-    only): probe_bits=1 additionally probes every bucket one sign-flip away
-    (n_planes + 1 probes per query — the near-miss buckets where a
-    borderline-plane neighbor lands). Vectors keep ONE bucket, so a
-    (query, vector) candidate occurs at most once and the big side never
+    only): every bucket within Hamming distance ≤ probe_bits of the query's
+    bucket is probed (probe_bits=1 → n_planes+1 probes, =2 → adds the
+    C(n_planes, 2) two-flip buckets; capped at 2 — beyond that the probe
+    fan-out exceeds simply using fewer planes). Vectors keep ONE bucket, so
+    a (query, vector) candidate occurs at most once and the big side never
     expands. Pure column math on the probe side (codegen, no extra UDF).
     """
+    from itertools import combinations
+
+    if probe_bits > 2:
+        raise ValueError("probe_bits > 2 unsupported: lower n_planes instead")
     v = vectors.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     if probe_bits >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)
-            ],
-        )
+        masks = [0] + [1 << i for i in range(n_planes)]
+        if probe_bits >= 2:
+            masks += [
+                (1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)
+            ]
+        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(mk)) for mk in masks])
         q = q.withColumn("bucket", F.explode(probes))
 
     @pandas_udf(T.DoubleType())

@@ -73,9 +73,15 @@ def write_checkpointed(
         .partitionBy(part_col)
         .parquet(data_path(base))
     )
+    # Exclude already-done keys with a NOT-isin literal filter (the manifest
+    # is one row per key by design, so the list is bounded): unlike an
+    # anti-join, a literal partition-column predicate prunes at file-listing
+    # time, keeping each incremental resume O(new keys), not O(all data).
     written = spark.read.parquet(data_path(base))
     if done is not None:
-        written = written.join(F.broadcast(done), part_col, "left_anti")
+        done_keys = [r[part_col] for r in done.collect()]
+        if done_keys:
+            written = written.filter(~F.col(part_col).isin(done_keys))
     metric_rows = written.groupBy(part_col).agg(F.count("*").alias("n_rows")).collect()
     total_rows = sum(r["n_rows"] for r in metric_rows)
     from pyspark.sql import types as T

@@ -108,7 +108,14 @@ def minhash_lsh_dupes(
        linearly (star pairs, jaccard_est 1.0 — identical text ⇒ identical
        signature), and ONLY representatives run the minhash pandas_udf and
        enter the LSH buckets: the expensive Arrow stage shrinks to the
-       distinct-text count.
+       distinct-text count. CONTRACT NOTE: the pair set is complete UP TO
+       exact-duplicate equivalence — a near-dup relation is emitted for the
+       cluster's representative only (if B is an exact copy of A and C
+       near-dups A, the output holds (A,B,1.0) and (A,C,est) but not the
+       implied (B,C,est); materializing it would be |cluster|×|neighbors|
+       rows — exactly the quadratic blowup the collapse exists to avoid).
+       Consumers wanting closure should treat pairs as edges and take
+       connected components / join through representatives.
     2. **Per-bucket cap.** Among representatives a (band, bucket) group
        keeps at most ``bucket_cap`` members — enforced with a row_number
        BEFORE collect_list, so the grouped array (and task memory) is
@@ -257,7 +264,14 @@ def simhash_dupes(
     """
     sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     if segments is None:
-        segments, combo = _simhash_blocking_plan(docs.count(), max_hamming)
+        # bounded probe, not a full count: one extra pass over the upstream
+        # would double the job for big pipelines. limit(2^20) answers the
+        # planner's main question ("under or over 2^20 docs?") at a cost of
+        # at most 2^20 rows; saturated probes get the mid-scale tier (the
+        # widest-key plan is reachable via an explicit segments=7).
+        probe_n = docs.select(id_col).limit(1 << 20).count()
+        n_est = probe_n if probe_n < (1 << 20) else (1 << 20)
+        segments, combo = _simhash_blocking_plan(n_est, max_hamming)
     else:
         combo = max(1, segments - max_hamming)
 

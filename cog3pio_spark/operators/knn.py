@@ -86,7 +86,13 @@ def knn_sort_merge(
     each in-bucket frame is EXACTLY the global curve-order frame (a frame
     overhangs a bucket edge by at most scan_width rows, which is precisely
     what the ghosts supply). Precondition: every bucket holds ≥ scan_width
-    rows — enforced by capping the bucket count at total/(4·scan_width).
+    rows — the bucket count is capped at total/(4·scan_width) so AVERAGE
+    buckets are 4× over the minimum; a duplicate-heavy cell distribution
+    (one cell value holding a large fraction of rows) can still pinch an
+    individual bucket below scan_width, in which case frames near that
+    bucket see slightly fewer than ±scan_width global-order rows (the
+    operator is approximate anyway; the equality test pins parity on
+    realistic data).
 
     This replaces the round-1 global un-partitioned ``Window.orderBy``
     (single task over the whole union — VERDICT r1 "What's wrong" #5): the

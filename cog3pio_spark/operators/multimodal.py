@@ -146,10 +146,6 @@ def resize_media(
     Spark plumbing (batching, schema, error channel) is real, the foreign
     decode is not faked.
     """
-    import io
-    import os
-    import tempfile
-
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,13 +174,11 @@ def resize_media(
                     yi = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64)
                     xi = ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64)
                     res = arr[:, yi.clip(0, h - 1)][:, :, xi.clip(0, w - 1)]
-                    fd, tmp = tempfile.mkstemp(suffix=".tif")
-                    os.close(fd)
-                    try:
-                        write_tiff(tmp, np.ascontiguousarray(res))
-                        data = open(tmp, "rb").read()
-                    finally:
-                        os.unlink(tmp)
+                    import io
+
+                    buf = io.BytesIO()
+                    write_tiff(buf, np.ascontiguousarray(res))
+                    data = buf.getvalue()
                     out["status"].append("ok")
                     out["error_msg"].append(None)
                     out["width"].append(int(target_w))

@@ -143,7 +143,11 @@ def streaming_knn(
     table via foreachBatch — exact stream/batch parity by construction
     (top-k-per-query ranking isn't expressible as a pure streaming agg, so
     micro-batch enrichment is the idiomatic shape). Resume comes from the
-    stream checkpoint: replayed batches are not reprocessed.
+    stream checkpoint, and the sink is IDEMPOTENT per epoch: results are
+    partitioned by _epoch and written with dynamic partition overwrite, so a
+    batch replayed after a crash-between-write-and-commit overwrites its own
+    partition instead of appending duplicates (foreachBatch alone is only
+    at-least-once).
     """
     from pyspark.sql import functions as F  # noqa: F811 (worker import)
 
@@ -152,10 +156,13 @@ def streaming_knn(
     def _batch(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             knn_join(df, points, k=k, res=res, ring=ring)
             .withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
             .parquet(out_dir)
         )
 

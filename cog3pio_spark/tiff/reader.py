@@ -257,7 +257,10 @@ class CogReader:
         )
 
     def _unpredict(self, chunk: np.ndarray) -> np.ndarray:
-        """Undo horizontal differencing (predictor 2) on (rows, px, samples)."""
+        """Undo horizontal differencing (predictor 2) on (rows, px, samples).
+
+        uint64 modular cumsum (wraps mod 2^64) masked to the sample width —
+        valid for all widths including 64-bit samples."""
         if self.predictor != 2:
             return chunk
         if chunk.dtype.kind == "f":
@@ -265,8 +268,10 @@ class CogReader:
                 "unsupported error: predictor 2 with float samples is unsupported"
             )
         bits = chunk.dtype.itemsize * 8
-        wide = np.cumsum(chunk.astype(np.int64), axis=1)
-        return (wide & ((1 << bits) - 1)).astype(chunk.dtype)
+        wide = np.cumsum(chunk.astype(np.uint64), axis=1, dtype=np.uint64)
+        if bits < 64:
+            wide &= np.uint64((1 << bits) - 1)
+        return wide.astype(chunk.dtype)
 
     def to_numpy(self, window: tuple[int, int, int, int] | None = None) -> np.ndarray:
         """Decode the selected IFD → (band, h, w) tensor.

@@ -126,13 +126,19 @@ def packbits_encode(data: bytes) -> bytes:
 
 
 def _hdiff(chunk: np.ndarray) -> np.ndarray:
-    """Horizontal differencing (predictor 2) over (rows, px, samples)."""
+    """Horizontal differencing (predictor 2) over (rows, px, samples).
+
+    Modular arithmetic in uint64 (astype wraps two's-complement, subtraction
+    wraps mod 2^64), masked down to the sample width — works for ALL widths
+    including 64-bit, where an int64 work array would overflow the mask."""
     if chunk.dtype.kind == "f":
         raise ValueError("predictor 2 requires an integer dtype")
     bits = chunk.dtype.itemsize * 8
-    wide = chunk.astype(np.int64)
+    wide = chunk.astype(np.uint64)
     wide[:, 1:, :] = wide[:, 1:, :] - wide[:, :-1, :]
-    return (wide & ((1 << bits) - 1)).astype(chunk.dtype)
+    if bits < 64:
+        wide &= np.uint64((1 << bits) - 1)
+    return wide.astype(chunk.dtype)
 
 
 def _entries_bytes(tag: int, typ: int, values: list, extra: list) -> bytes:
@@ -209,6 +215,11 @@ def write_tiff(
         nxt = sections[i + 1]["ifd"]
         s["blob"][s["next"] : s["next"] + 4] = struct.pack("<I", nxt)
 
+    if hasattr(path, "write"):  # file-like target (e.g. BytesIO): no disk
+        path.write(struct.pack("<2sHI", b"II", 42, sections[0]["ifd"]))
+        for s in sections:
+            path.write(bytes(s["blob"]))
+        return path
     with open(path, "wb") as f:
         f.write(struct.pack("<2sHI", b"II", 42, sections[0]["ifd"]))
         for s in sections:

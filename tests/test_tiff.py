@@ -163,12 +163,17 @@ def test_lzw_packbits_predictor_roundtrip(tmp_path):
                 got = CogReader(open(p, "rb").read()).to_numpy()
                 assert got.dtype == arr.dtype
                 np.testing.assert_array_equal(got, arr)
-    # predictor 2 (integer dtypes only)
+    # predictor 2 (integer dtypes only) — incl. 64-bit widths, where the
+    # modular math must run in uint64 (an int64 work array overflows)
     for comp in ("lzw", "deflate", "packbits"):
-        arr = np.cumsum(rng.randint(0, 3, (1, 40, 50)), axis=2).astype("uint16")
-        p = str(tmp_path / f"p2_{comp}.tif")
-        write_tiff(p, arr, compression=comp, predictor=2)
-        np.testing.assert_array_equal(CogReader(open(p, "rb").read()).to_numpy(), arr)
+        for dt in ("uint16", "uint64", "int64", "int8"):
+            arr = np.cumsum(rng.randint(0, 3, (1, 40, 50)), axis=2).astype(dt)
+            if dt == "uint64":
+                arr += np.uint64(1 << 63)  # exercise the high bit
+            p = str(tmp_path / f"p2_{comp}_{dt}.tif")
+            write_tiff(p, arr, compression=comp, predictor=2)
+            got = CogReader(open(p, "rb").read()).to_numpy()
+            np.testing.assert_array_equal(got, arr)
     # predictor 2 + float rejected (TIFF 6.0: predictor 2 is integer-only)
     with pytest.raises(ValueError, match="integer"):
         write_tiff(str(tmp_path / "bad.tif"), rng.rand(1, 4, 4).astype("float32"),
