@@ -621,17 +621,17 @@ def q50_pq_topk(spark, sf):
 
 
 def q51_embedding_dupes(spark, sf):
-    """LSH-blocked embedding near-dup pairs at cosine >= 0.45 (rows-only:
-    LSH-blocked recall is probabilistic; blocking shape = equi-join on
-    hyperplane bucket, never all-pairs). Threshold sits just under the
+    """LSH-blocked embedding near-dup pairs at cosine >= 0.45, on the q47
+    per-bucket gram-matrix kernel (multi-table hyperplane LSH, 4096 bucket
+    cap) — never a bucket self-join, never per-pair UDF rows. Oracle: the
+    exact all-pairs threshold SQL (blocked output is deterministically equal
+    at sf0.01 with 16 seed-fixed tables). Threshold sits just under the
     corpus's top-pair cosine (~0.51) so the query returns a small
     deterministic set on the seeded data."""
     from cog3pio_spark.operators.ann import embedding_dupes
 
     emb = _t(spark, sf, "embeddings")
-    return embedding_dupes(emb, dim=64, threshold=0.45, n_planes=2).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_dupes(emb, dim=64, threshold=0.45).orderBy("id_a", "id_b")
 
 
 def q37_docs_per_cell(spark, sf):
@@ -1103,6 +1103,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs
             ) WHERE rank <= 20
+        """,
+        # q51 = LSH-blocked near-dup pairs; deterministically equal to the
+        # exact threshold scan at sf0.01 (16 seed-fixed tables recover every
+        # pair ≥ 0.45), so it gets the exact all-pairs oracle like q47
+        "q51_embedding_dupes": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
         """,
         "q19_pip_boxes": f"""
             WITH pts AS (

@@ -271,6 +271,48 @@ def test_blocked_top_pairs_on_near_dups(spark):
     assert blocked == exact
 
 
+def test_embedding_dupes_matches_exact_on_planted(spark):
+    """q51 kernel (gram-matrix blocked threshold pairs) retrieves exactly the
+    planted near-dup pairs — equal to a brute-force threshold scan."""
+    from cog3pio_spark.operators.ann import embedding_dupes
+
+    rng = np.random.RandomState(23)
+    mat = rng.randn(300, 32)
+    for i in range(8):
+        mat[200 + i] = mat[i] + rng.randn(32) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)], ["vec_id", "embedding"]
+    )
+    got = {(r.id_a, r.id_b) for r in embedding_dupes(df, dim=32, threshold=0.95).collect()}
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu, ju = np.triu_indices(300, 1)
+    exact = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= 0.95], ju[sims[iu, ju] >= 0.95])}
+    assert got == exact == {(i, 200 + i) for i in range(8)}
+
+
+def test_embedding_dupes_hot_bucket_bounded(spark):
+    """VERDICT r2 #1 regression pin: one bucket holding a large near-dup
+    cluster must stay bounded — the kernel caps each (table, bucket) group at
+    ``bucket_cap`` id-sorted rows, so candidate volume is ≤ C(cap, 2) per
+    bucket, never C(n, 2). (In the spirit of
+    test_minhash_zipf_cluster_bounded.)"""
+    from cog3pio_spark.operators.ann import embedding_dupes
+
+    rng = np.random.RandomState(29)
+    base = rng.randn(16)
+    n = 2000
+    mat = base[None, :] + rng.randn(n, 16) * 1e-3  # one hot direction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    out = embedding_dupes(df, dim=16, threshold=0.9, bucket_cap=64).collect()
+    # every table's bucket holds all n rows; the cap keeps only ids 0..63, so
+    # the deduped output is exactly the C(64,2) head pairs — not C(2000,2)
+    assert len(out) == 64 * 63 // 2
+    assert max(max(r.id_a, r.id_b) for r in out) < 64
+
+
 def test_doc_table_fallback_partition_pruning(spark, tmp_path):
     """VERDICT r1 #9 contract test: the parquet fallback must deliver the
     partition pruning the Iceberg path promises — a bucket-key lookup scans
