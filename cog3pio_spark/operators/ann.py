@@ -350,6 +350,17 @@ def lsh_topk(
     )
 
 
+def _deterministic_sample(
+    vectors: DataFrame, vec_col: str, id_col: str, sample: int
+) -> list:
+    """First ``sample`` rows by id (ADVICE r2: limit() without sort is
+    partition-order dependent, so codebooks could change across runs under
+    AQE / cluster re-reads, breaking the determinism contract). orderBy +
+    limit plans as TakeOrderedAndProject — parallel per-partition partial
+    top-k merged on the driver, never a full sort."""
+    return vectors.select(id_col, vec_col).orderBy(id_col).limit(sample).select(vec_col).collect()
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     dim: int,
@@ -358,14 +369,16 @@ def train_ivf_centroids(
     iters: int = 8,
     seed: int = 77,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic mini-KMeans on a fixed-size sample (driver-side numpy).
 
     Centroid training is O(sample × dim × iters) — independent of table
     size; the expensive part (assignment) stays distributed. Seeded init +
-    fixed iteration count ⇒ bit-reproducible across runs (resume/goldens).
+    fixed iteration count + id-ordered sample ⇒ bit-reproducible across runs
+    and physical layouts (resume/goldens).
     """
-    rows = vectors.select(vec_col).limit(sample).collect()
+    rows = _deterministic_sample(vectors, vec_col, id_col, sample)
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -413,7 +426,7 @@ def ivf_topk(
     The join key is the int centroid id — an 8-byte shuffle key, and the
     probe side is broadcast. Recall/cost is tuned by (n_centroids, nprobe).
     """
-    cents = train_ivf_centroids(vectors, dim, n_centroids, vec_col=vec_col)
+    cents = train_ivf_centroids(vectors, dim, n_centroids, vec_col=vec_col, id_col=id_col)
     v = vectors.withColumn(
         "ivf_list", F.element_at(ivf_assign(F.col(vec_col), cents, 1), 1)
     )
@@ -438,12 +451,13 @@ def train_ivf2_centroids(
     iters: int = 8,
     seed: int = 177,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Two-level IVF codebook: coarse k-means, then per-coarse-cell fine
     k-means over that cell's sample members. Returns (coarse[n_coarse,dim],
     fine[n_coarse,n_fine,dim]). Same determinism contract as the one-level
-    trainer (fixed sample, seeds, iteration count)."""
-    rows = vectors.select(vec_col).limit(sample).collect()
+    trainer (fixed id-ordered sample, seeds, iteration count)."""
+    rows = _deterministic_sample(vectors, vec_col, id_col, sample)
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     coarse = mat[rng.choice(len(mat), size=min(n_coarse, len(mat)), replace=False)]
@@ -495,7 +509,9 @@ def ivf2_topk(
     (n_coarse·n_fine) of the corpus — a quadratically finer partition than
     one level at the same codebook-train cost shape. Join key stays a single
     int; probe side broadcast."""
-    coarse, fine = train_ivf2_centroids(vectors, dim, n_coarse, n_fine, vec_col=vec_col)
+    coarse, fine = train_ivf2_centroids(
+        vectors, dim, n_coarse, n_fine, vec_col=vec_col, id_col=id_col
+    )
     flat_fine = fine.reshape(-1, dim)  # (n_coarse*n_fine, dim)
 
     @pandas_udf(T.IntegerType())
@@ -580,15 +596,17 @@ def train_pq_codebooks(
     iters: int = 10,
     seed: int = 277,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Product-quantization codebooks: split the (normalized) vector into
-    ``m`` contiguous subspaces of dim/m and k-means each on a fixed sample.
-    Returns (m, k, dim/m). Deterministic (seeded, fixed iterations) like the
-    IVF trainers. At 100 TB this is the storage story: a 64-float embedding
-    becomes m uint8 codes (32x smaller), scored without decompression."""
+    ``m`` contiguous subspaces of dim/m and k-means each on a fixed
+    id-ordered sample. Returns (m, k, dim/m). Deterministic (seeded, fixed
+    iterations) like the IVF trainers. At 100 TB this is the storage story:
+    a 64-float embedding becomes m uint8 codes (32x smaller), scored without
+    decompression."""
     assert dim % m == 0, "dim must be divisible by m"
     sub = dim // m
-    rows = vectors.select(vec_col).limit(sample).collect()
+    rows = _deterministic_sample(vectors, vec_col, id_col, sample)
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     books = np.zeros((m, k, sub))
@@ -646,7 +664,7 @@ def pq_topk(
     sum of m table lookups — no decompression, no float vectors at scan
     time. The scan side carries only the m-byte codes: at 10^9+ vectors
     this is the shape that fits an embedding table in cluster memory."""
-    books = train_pq_codebooks(vectors, dim, m=m, vec_col=vec_col)
+    books = train_pq_codebooks(vectors, dim, m=m, vec_col=vec_col, id_col=id_col)
     sub = books.shape[2]
     enc = vectors.select(id_col, pq_encode(F.col(vec_col), books).alias("pq"))
 

@@ -156,12 +156,13 @@ def streaming_knn(
     def _batch(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
-        spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # overwrite mode scoped to the write (ADVICE r2: a session-level
+        # conf mutation would silently change later static overwrites)
         (
             knn_join(df, points, k=k, res=res, ring=ring)
             .withColumn("_epoch", F.lit(epoch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_epoch")
             .parquet(out_dir)
         )
