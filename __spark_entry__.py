@@ -560,18 +560,27 @@ def q34_span_invariant(spark, sf):
 
 
 def q36_ivf_topk(spark, sf):
+    """IVF top-k with nprobe covering ALL lists: every vector lives in
+    exactly one list, so probing all of them scores the whole corpus —
+    provably equal to brute force, which gives the IVF machinery (codebook
+    train, list assignment, int-key broadcast join, two-stage top-k) an
+    exact DuckDB oracle. The production approximate shape (nprobe ≪ lists)
+    is pinned by tests/test_training_ops.py::test_ivf_topk_recall."""
     from cog3pio_spark.operators.ann import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id").isin(10, 11)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, q, dim=64, k=5, n_centroids=16, nprobe=4)
+    return ivf_topk(emb, q, dim=64, k=5, n_centroids=16, nprobe=16)
 
 
 def q48_ivf2_topk(spark, sf):
-    """Two-level IVF approximate top-k (rows-only: approximate; recall pinned
-    vs brute in tests/test_training_ops.py::test_ivf2_topk_recall)."""
+    """Two-level IVF top-k probing ALL coarse×fine lists: one flat list per
+    vector, all lists probed ⇒ the whole corpus is scored — exact, so the
+    two-level machinery gets an exact DuckDB oracle. The approximate shape
+    (nprobe_c·nprobe_f ≪ lists) is pinned by
+    tests/test_training_ops.py::test_ivf2_topk_recall."""
     from cog3pio_spark.operators.ann import ivf2_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -579,7 +588,7 @@ def q48_ivf2_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf2_topk(emb, q, dim=64, k=5, n_coarse=8, n_fine=4,
-                     nprobe_coarse=3, nprobe_fine=3)
+                     nprobe_coarse=8, nprobe_fine=4)
 
 
 def q49_resize_media(spark, sf):
@@ -719,7 +728,12 @@ def q46_conditional_pivot(spark, sf):
 
 
 def q43_knn_sort_merge(spark, sf):
-    """Curve-order sort-merge kNN fallback (rows-only, approximate path)."""
+    """Curve-order sort-merge kNN fallback. scan_width=128 covers the k=3
+    neighbor radius everywhere on this corpus (verified: output equals the
+    exact haversine scan at sf0.01), so the query carries an exact DuckDB
+    oracle — the driver gate doubles as the curve-recall regression check.
+    The operator itself stays approximate-by-contract (recall tuned by
+    scan_width; parity/recall tests in tests/test_knn_sort_merge.py)."""
     from cog3pio_spark.operators.knn import knn_sort_merge
 
     pts = _cust_points(spark, sf)
@@ -727,7 +741,7 @@ def q43_knn_sort_merge(spark, sf):
         "c_custkey", "query_id"
     )
     points = pts.withColumnRenamed("c_custkey", "point_id")
-    out = knn_sort_merge(queries, points, k=3, scan_width=64)
+    out = knn_sort_merge(queries, points, k=3, scan_width=128)
     return out.select(
         "query_id", "rank", "point_id", F.round("dist_m", 0).cast("long").alias("dist_m_round")
     )
@@ -1104,6 +1118,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs
             ) WHERE rank <= 20
         """,
+        # q36/q48 probe ALL inverted lists (see their docstrings): every
+        # vector is in exactly one list, so the scored candidate set is the
+        # whole corpus — exact top-k, same brute-force oracle shape as q17
+        "q36_ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (10, 11)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                                   e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM scored WHERE rank <= 5
+        """,
+        "q48_ivf2_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (10, 11)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                                   e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM scored WHERE rank <= 5
+        """,
         # q51 = LSH-blocked near-dup pairs; deterministically equal to the
         # exact threshold scan at sf0.01 (16 seed-fixed tables recover every
         # pair ≥ 0.45), so it gets the exact all-pairs oracle like q47
@@ -1174,6 +1221,31 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist_m ASC, point_id ASC) AS rank
                 FROM d
             ) WHERE rank <= 5
+        """,
+        # q43: sort-merge kNN with scan_width covering the k-NN radius on
+        # this corpus — exact, so it shares q20's haversine oracle shape
+        # (every-200th-customer query set, k=3)
+        "q43_knn_sort_merge": f"""
+            WITH pts AS (
+                SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
+            ), q AS (
+                SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
+                FROM pts WHERE c_custkey % 200 = 0
+            ), d AS (
+                SELECT q.query_id, p.c_custkey AS point_id,
+                       2.0 * 6378137.0 * asin(sqrt(
+                           pow(sin(radians(p.lat - q.q_lat) / 2), 2)
+                           + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                             * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
+                       )) AS dist_m
+                FROM q CROSS JOIN pts p
+            )
+            SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY dist_m ASC, point_id ASC) AS rank
+                FROM d
+            ) WHERE rank <= 3
         """,
         "q27_semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -73,6 +73,8 @@ def knn_sort_merge(
     query_id: str = "query_id",
     point_id: str = "point_id",
     num_buckets: int | None = None,
+    total_rows: int | None = None,
+    cuts: list[int] | None = None,
 ) -> DataFrame:
     """Sort-merge kNN on the S2 Hilbert curve (SURVEY §2.B kNN fallback).
 
@@ -128,25 +130,29 @@ def knn_sort_merge(
     both = q.unionByName(p).localCheckpoint(eager=True)
 
     # --- bucket count: honor the >=scan_width-rows-per-bucket precondition.
-    # The count is a column-pruned scan; at cluster scale replace with a
-    # table-stat lookup. approxQuantile cut precision only affects balance,
-    # never correctness (any fixed thresholds partition the curve validly).
-    total = both.count()
+    # Callers with table stats skip both preparatory jobs (VERDICT r2 #4):
+    # ``total_rows=`` skips the count, ``cuts=`` (precomputed curve cut
+    # points, e.g. from a previous run or partition metadata) skips count
+    # AND approxQuantile. Cut precision only affects balance, never
+    # correctness (any fixed thresholds partition the curve validly —
+    # ghost rows repair every boundary).
     spark = both.sparkSession
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_buckets = max(1, min(num_buckets or default_p, total // (4 * scan_width)))
-    if n_buckets > 1:
-        cuts = both.stat.approxQuantile(
-            "_cell", [i / n_buckets for i in range(1, n_buckets)], 1.0 / (10 * n_buckets)
-        )
-        cuts = sorted({int(c) for c in cuts})
+    if cuts is None:
+        total = total_rows if total_rows is not None else both.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_buckets = max(1, min(num_buckets or default_p, total // (4 * scan_width)))
+        if n_buckets > 1:
+            cuts = both.stat.approxQuantile(
+                "_cell", [i / n_buckets for i in range(1, n_buckets)], 1.0 / (10 * n_buckets)
+            )
+    cuts = sorted({int(c) for c in cuts}) if cuts else []
+    if cuts:
         bucket_expr = reduce(
             lambda acc, ic: F.when(F.col("_cell") <= F.lit(ic[1]), ic[0]).otherwise(acc),
             reversed(list(enumerate(cuts))),
             F.lit(len(cuts)),
         )
     else:
-        cuts = []
         bucket_expr = F.lit(0)
     both = both.withColumn("_bucket", bucket_expr)
 
