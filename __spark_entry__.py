@@ -643,6 +643,20 @@ def q51_embedding_dupes(spark, sf):
     return embedding_dupes(emb, dim=64, threshold=0.45).orderBy("id_a", "id_b")
 
 
+def q52_ivfpq_topk(spark, sf):
+    """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
+    pruning × quantized ADC scores; recall + partition-pruning plan pinned in
+    tests/test_training_ops.py::test_ivfpq_*). The 10⁹-vector serving shape:
+    m-byte codes partitioned by list id, probed lists only at query time."""
+    from cog3pio_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, q, dim=64, k=5, m=8, n_centroids=16, nprobe=4)
+
+
 def q37_docs_per_cell(spark, sf):
     """Docs per level-4 S2 cell + distinct custkeys (north_rule metrics;
     rows-only: cell ids not SQL-expressible)."""
@@ -850,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_resize_media": q49_resize_media,
         "q50_pq_topk": q50_pq_topk,
         "q51_embedding_dupes": q51_embedding_dupes,
+        "q52_ivfpq_topk": q52_ivfpq_topk,
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,
