@@ -49,7 +49,7 @@ _TYPE_FMT = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}
 
 _SAMPLE_FORMAT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
-_COMPRESSION_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMPRESSION_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "zstd": 50000}
 
 
 def lzw_encode(data: bytes) -> bytes:
@@ -159,7 +159,7 @@ def write_tiff(
     *,
     tiled: bool = False,
     tile_size: int = 16,
-    compression: str = "none",  # "none" | "deflate" | "lzw" | "packbits"
+    compression: str = "none",  # "none" | "deflate" | "lzw" | "packbits" | "zstd"
     predictor: int = 1,  # 1 = none, 2 = horizontal differencing
     photometric: int | None = None,
     pixel_scale: tuple[float, float] | None = None,
@@ -167,6 +167,9 @@ def write_tiff(
     model_transformation: list[float] | None = None,
     palette: bool = False,
     overviews: int = 0,
+    compressor=None,  # bytes -> bytes; required for "zstd" when the
+    #                   zstandard package is absent (tests pass the JVM's
+    #                   zstd-jni — see test_tiff.py zstd interop)
 ) -> str:
     """Write ``array`` of shape (bands, h, w) or (h, w) as a chunky TIFF.
 
@@ -205,6 +208,7 @@ def write_tiff(
             tiepoint=tiepoint,
             model_transformation=model_transformation,
             palette=palette,
+            compressor=compressor,
         )
         sections.append({"blob": bytearray(blob), "ifd": base + rel_ifd, "next": rel_next})
         base += len(blob)
@@ -240,6 +244,7 @@ def _image_section(
     tiepoint,
     model_transformation,
     palette: bool,
+    compressor=None,
 ) -> tuple[bytes, int, int]:
     """Serialize one image (chunks + IFD + spill area) at absolute offset
     ``base``. Returns (blob, ifd_offset_rel, next_ptr_pos_rel)."""
@@ -267,6 +272,12 @@ def _image_section(
             return lzw_encode(buf)
         if compression == "packbits":
             return packbits_encode(buf)
+        if compression == "zstd":
+            if compressor is not None:
+                return compressor(buf)
+            import zstandard  # noqa: PLC0415 (environment-gated like the reader)
+
+            return zstandard.ZstdCompressor().compress(buf)
         return buf
 
     chunks: list[bytes] = []
