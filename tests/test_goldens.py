@@ -34,3 +34,20 @@ def test_golden(spark, name, builder):
     actual = getattr(G, builder)(spark)
     verdict = golden_compare(actual, _golden(spark, name))
     assert verdict["match"], verdict
+
+
+def test_golden_dedupe_sf01_bounded(spark):
+    """sf0.1 dedupe golden (VERDICT r2 #9): the capped/bucketed dedupe
+    kernels must reproduce the committed pairs byte-for-byte AND finish
+    inside a loose wall bound — a quadratic regression (uncapped bucket,
+    all-pairs join) would blow straight through it."""
+    import time
+
+    import tools.make_goldens as G
+
+    t0 = time.time()
+    actual = G.build_dedupe_sf01(spark)
+    verdict = golden_compare(actual, _golden(spark, "dedupe_sf01"))
+    elapsed = time.time() - t0
+    assert verdict["match"], verdict
+    assert elapsed < 120, f"dedupe golden took {elapsed:.0f}s — scale regression?"

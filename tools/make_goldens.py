@@ -85,6 +85,47 @@ def build_knn_results(spark):
     ).orderBy("query_id", "rank")
 
 
+def build_dedupe_sf01(spark):
+    """sf0.1 dedupe goldens under memory bounds (VERDICT r2 #9 / round-3
+    candidate list): exact duplicate groups, MinHash-LSH near-dup pairs with
+    a 256-row bucket cap, and simhash Hamming-6 pairs over the 5,000-doc
+    driver table — one unified (op, key_a, key_b, metric) frame. Pins that
+    the bucketed/capped scale shapes keep byte-identical outputs as the
+    kernels evolve."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.operators.dedupe import (
+        exact_dedupe,
+        minhash_lsh_dupes,
+        simhash_dupes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    exact = (
+        exact_dedupe(docs)
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.lit("exact").alias("op"),
+            F.col("doc_id").cast("string").alias("key_a"),
+            F.lit("").alias("key_b"),
+            F.col("n_copies").cast("double").alias("metric"),
+        )
+    )
+    mh = minhash_lsh_dupes(docs, jaccard_threshold=0.5, bucket_cap=256).select(
+        F.lit("minhash").alias("op"),
+        F.col("id_a").cast("string").alias("key_a"),
+        F.col("id_b").cast("string").alias("key_b"),
+        F.col("jaccard_est").alias("metric"),
+    )
+    sh = simhash_dupes(docs, max_hamming=6).select(
+        F.lit("simhash").alias("op"),
+        F.col("id_a").cast("string").alias("key_a"),
+        F.col("id_b").cast("string").alias("key_b"),
+        F.col("hamming").cast("double").alias("metric"),
+    )
+    return exact.unionByName(mh).unionByName(sh).orderBy("op", "key_a", "key_b")
+
+
 def main() -> None:
     from cog3pio_spark.session import get_spark
 
@@ -95,6 +136,7 @@ def main() -> None:
         ("tile_assignments", build_tile_assignments),
         ("join_rows", build_join_rows),
         ("knn_results", build_knn_results),
+        ("dedupe_sf01", build_dedupe_sf01),
     ]:
         df = builder(spark).coalesce(1)
         path = os.path.join(GOLDEN_DIR, name + ".parquet")
