@@ -497,13 +497,18 @@ def q31_cell_range_join(spark, sf):
 
 
 def q32_lsh_topk(spark, sf):
+    """Hyperplane-LSH top-k with query-directed multi-probe (r3: each query
+    probes its home bucket + the 5 cheapest |margin|-ranked sign-flips —
+    bounded fan-out at any plane count, unlike the Hamming-ball mode).
+    Rows-only: probabilistic recall; pinned by
+    tests/test_training_ops.py::test_lsh_query_directed_probes_*."""
     from cog3pio_spark.operators.ann import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id").isin(5, 6)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, dim=64, k=5, n_planes=8)
+    return lsh_topk(emb, q, dim=64, k=5, n_planes=8, n_probes=6)
 
 
 def q33_compact_cells(spark, sf):

@@ -297,6 +297,43 @@ def hyperplane_bucket(vec: F.Column, dim: int, n_planes: int = 16, seed: int = 7
     return _b(vec)
 
 
+def query_directed_probes(
+    vec: F.Column, dim: int, n_planes: int, n_probes: int, seed: int = 7
+) -> F.Column:
+    """ARRAY<LONG> of the ``n_probes`` most promising LSH buckets per query
+    (multi-probe LSH, query-directed): the home bucket first, then sign-flip
+    perturbations ranked by cost = sum of |hyperplane margins| flipped — a
+    plane whose margin is near zero is the one a true neighbor most likely
+    sits across. Candidate flips are all singles and pairs, so the ranked
+    pool is p + C(p,2); only the cheapest ``n_probes − 1`` are emitted.
+    Bounded fan-out at ANY n_planes (the r2 Hamming-ball probing exploded as
+    C(p,2) rows per query and was capped at 2 bits for that reason)."""
+    rng = np.random.RandomState(seed)  # SAME planes as hyperplane_bucket
+    planes = rng.randn(dim, n_planes)
+    pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
+    iu, ju = np.triu_indices(n_planes, 1)
+    # flip masks for singles then pairs (int64 via float dot with pow2)
+    single_masks = (1 << np.arange(n_planes, dtype=np.int64))
+    pair_masks = single_masks[iu] | single_masks[ju]
+    all_masks = np.concatenate([single_masks, pair_masks])
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        margins = mat @ planes  # (n, p) signed distances
+        home = ((margins > 0).astype(np.float64) @ pow2).astype(np.int64)
+        a = np.abs(margins)
+        costs = np.concatenate([a, a[:, iu] + a[:, ju]], axis=1)  # (n, p+C(p,2))
+        t = min(n_probes - 1, costs.shape[1])
+        top = np.argsort(costs, axis=1)[:, :t]  # cheapest flips first
+        out = []
+        for i in range(len(mat)):
+            out.append(np.concatenate([[home[i]], home[i] ^ all_masks[top[i]]]))
+        return pd.Series(out)
+
+    return _probes(vec)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -304,6 +341,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     probe_bits: int = 0,
+    n_probes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -312,21 +350,34 @@ def lsh_topk(
 
     Both sides get a bucket id; candidates = equi-join on bucket. Recall is
     tuned by n_planes (fewer planes → bigger buckets → higher recall/cost)
-    and ``probe_bits`` (r2 multi-probe, VERDICT r1: recall was single-bucket
-    only): every bucket within Hamming distance ≤ probe_bits of the query's
-    bucket is probed (probe_bits=1 → n_planes+1 probes, =2 → adds the
-    C(n_planes, 2) two-flip buckets; capped at 2 — beyond that the probe
-    fan-out exceeds simply using fewer planes). Vectors keep ONE bucket, so
-    a (query, vector) candidate occurs at most once and the big side never
-    expands. Pure column math on the probe side (codegen, no extra UDF).
+    plus one of two probing modes:
+
+    * ``n_probes=T`` (preferred, r3): query-directed multi-probe — each
+      query probes its home bucket plus the T−1 cheapest sign-flip
+      perturbations ranked by |margin| (see query_directed_probes). Probe
+      fan-out is exactly T per query at any n_planes.
+    * ``probe_bits`` (r2, kept for comparison): the full Hamming ball —
+      probe_bits=1 → n_planes+1 probes, =2 adds all C(n_planes, 2) two-flip
+      buckets; capped at 2, beyond which the fan-out exceeds simply using
+      fewer planes.
+
+    Vectors keep ONE bucket, so a (query, vector) candidate occurs at most
+    once and the big side never expands.
     """
     from itertools import combinations
 
     if probe_bits > 2:
-        raise ValueError("probe_bits > 2 unsupported: lower n_planes instead")
+        raise ValueError("probe_bits > 2 unsupported: use n_probes= instead")
+    if n_probes is not None and probe_bits:
+        raise ValueError("set either n_probes or probe_bits, not both")
     v = vectors.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
-    if probe_bits >= 1:
+    if n_probes is not None and n_probes > 1:
+        q = queries.withColumn(
+            "bucket",
+            F.explode(query_directed_probes(F.col(vec_col), dim, n_planes, n_probes)),
+        )
+    elif probe_bits >= 1:
         masks = [0] + [1 << i for i in range(n_planes)]
         if probe_bits >= 2:
             masks += [

@@ -384,6 +384,42 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert len(multi & planted) >= 6  # multiprobe finds most planted dups
 
 
+def test_lsh_query_directed_probes_bounded_and_effective(spark):
+    """r3 multi-probe upgrade: query-directed probing (n_probes=T, flips
+    ranked by |margin|) must (a) emit exactly T probes per query at any
+    n_planes — the Hamming-ball mode explodes as C(p,2) — and (b) recover
+    at least as many planted near-dups as the full Hamming-1 ball while
+    probing FEWER buckets."""
+    from cog3pio_spark.operators.ann import lsh_topk, query_directed_probes
+
+    rng = np.random.RandomState(43)
+    mat = rng.randn(400, 16)
+    qv = rng.randn(16)
+    for i in range(8):
+        mat[i] = qv + rng.randn(16) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(5, [float(x) for x in qv])], ["query_id", "embedding"])
+
+    probes = qdf.select(
+        query_directed_probes(F.col("embedding"), 16, 10, 6).alias("p")
+    ).collect()[0]["p"]
+    assert len(probes) == 6 and len(set(probes)) == 6  # bounded, distinct
+
+    planted = set(range(8))
+    ham1 = {  # full Hamming-1 ball: 11 probes/query
+        r["vec_id"]
+        for r in lsh_topk(df, qdf, dim=16, k=8, n_planes=10, probe_bits=1).collect()
+    }
+    directed = {  # 6 directed probes/query — nearly half the fan-out
+        r["vec_id"]
+        for r in lsh_topk(df, qdf, dim=16, k=8, n_planes=10, n_probes=6).collect()
+    }
+    assert len(directed & planted) >= len(ham1 & planted)
+    assert len(directed & planted) >= 6
+
+
 def test_resize_media_real_tiff(spark, tmp_path):
     """resize_media REALLY resizes TIFF blobs (in-repo codec): dims change,
     dtype/bands preserved, resampled pixels exact vs the numpy oracle;
