@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q43_knn_sort_merge",
     "q47_top_pairs_blocked",
     "q48_ivf2_topk",
+    "q51_embedding_dupes",
+    "q52_ivfpq_topk",
 ]
 
 

@@ -603,12 +603,27 @@ def ivf2_topk(
     )
 
 
+def dupes_plane_count(
+    n_rows: int, threshold: float, n_tables: int, recall_target: float
+) -> int:
+    """Plane count for embedding_dupes: the ~256-row-bucket size rule,
+    clamped to the largest k whose all-tables miss probability
+    (1 − p^k)^tables stays ≤ 1 − recall_target for pairs at cosine =
+    threshold (p = 1 − acos(τ)/π). Pure math, unit-tested directly."""
+    size_based = min(30, max(2, int(np.ceil(np.log2(max(2.0, n_rows / 256.0))))))
+    p = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+    per_table_min = 1.0 - (1.0 - recall_target) ** (1.0 / n_tables)
+    k_max = int(np.floor(np.log(per_table_min) / np.log(p))) if 0 < p < 1 else 1
+    return max(1, min(size_based, k_max))
+
+
 def embedding_dupes(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.95,
     n_tables: int = 16,
     n_planes: int | None = None,
+    recall_target: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 4096,
@@ -620,12 +635,24 @@ def embedding_dupes(
     quadratic Arrow fan-out on a hot bucket; this shape is one BLAS gram
     matrix per (table, bucket), capped at ``bucket_cap``).
 
-    Recall: a pair at cosine τ shares a given table's bucket w.p.
-    (1−acos(τ)/π)^planes; missed by all tables w.p. (1−p)^tables — at the
-    near-dup thresholds this operator is for (τ ≥ 0.9, p ≥ 0.8 with auto
-    planes) the default 16 tables give miss < 1e-11. Deterministic for fixed
-    seed + data. Returns (id_a, id_b, cosine), cosine rounded to 6.
+    Recall math (honest): a pair at cosine τ shares one table's bucket w.p.
+    p^planes with p = 1−acos(τ)/π, and is missed by all tables w.p.
+    (1−p^planes)^tables. The corpus-size auto-plane rule alone targets
+    ~256-row buckets — at 10⁹ rows that is 22 planes, where even τ=0.95
+    pairs (p≈0.9) survive one table only 10% of the time and 16 tables miss
+    ~20% of true dups. ``n_planes=None`` therefore clamps the size-based
+    plane count to the largest k with (1−p^k)^tables ≤ 1−recall_target, so
+    stated recall holds at ANY corpus size; the price of the smaller k is
+    bigger buckets, which the deterministic ``bucket_cap`` bounds (capped
+    buckets = dense near-dup clusters; pairs beyond the cap are dropped —
+    lower-bound semantics, same contract as the n-gram df cap).
+    Deterministic for fixed seed + data. Returns (id_a, id_b, cosine),
+    cosine rounded to 6.
     """
+    if n_planes is None:
+        n_planes = dupes_plane_count(
+            vectors.count(), threshold, n_tables, recall_target
+        )
     return _lsh_blocked_pairs(
         vectors,
         dim,

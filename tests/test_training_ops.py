@@ -291,6 +291,23 @@ def test_embedding_dupes_matches_exact_on_planted(spark):
     assert got == exact == {(i, 200 + i) for i in range(8)}
 
 
+def test_dupes_plane_count_recall_clamp():
+    """The auto plane count must never sacrifice the stated recall for
+    bucket size: at 1e9 rows the size rule alone wants 22 planes, where
+    16 tables would miss ~20% of cosine-0.95 pairs; the clamp caps planes
+    so (1 - p^k)^tables stays within 1 - recall_target at any scale."""
+    from cog3pio_spark.operators.ann import dupes_plane_count
+
+    # small corpus: size rule binds (2 planes), clamp doesn't
+    assert dupes_plane_count(500, 0.45, 16, 0.95) == 2
+    # web scale: clamp binds
+    k = dupes_plane_count(10**9, 0.95, 16, 0.95)
+    p = 1.0 - np.arccos(0.95) / np.pi
+    miss = (1.0 - p**k) ** 16
+    assert miss <= 0.05, (k, miss)
+    assert k < 22  # the unclamped size rule would have picked 22
+
+
 def test_embedding_dupes_hot_bucket_bounded(spark):
     """VERDICT r2 #1 regression pin: one bucket holding a large near-dup
     cluster must stay bounded — the kernel caps each (table, bucket) group at

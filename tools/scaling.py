@@ -38,6 +38,9 @@ sys.path.insert(0, HERE)
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000000"))
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4,16,32").split(",")]
 RUNS = 3
+# Everything in BENCH/BASELINE.md from this line on is hand-written and
+# survives regeneration.
+MANUAL_MARKER = "<!-- manual sections below: preserved by tools/scaling.py -->"
 WARMUPS = 3
 CONTROL_ROWS = 3_000_000_000
 
@@ -227,8 +230,17 @@ All pairs reported above; nothing withheld.
 Reproduce: `python tools/scaling.py`
 (env: SPARK_GRAFT_SCALING_DOCS, SPARK_GRAFT_SCALING_LEVELS).
 """
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-written sections below the marker across regenerations
+    out_path = os.path.join(HERE, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_MARKER in prev:
+            manual = prev[prev.index(MANUAL_MARKER):]
+    with open(out_path, "w") as f:
         f.write(md)
+        if manual:
+            f.write("\n" + manual)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
