@@ -371,13 +371,14 @@ def lsh_topk(
     if n_probes is not None and probe_bits:
         raise ValueError("set either n_probes or probe_bits, not both")
     v = vectors.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     if n_probes is not None and n_probes > 1:
         q = queries.withColumn(
             "bucket",
             F.explode(query_directed_probes(F.col(vec_col), dim, n_planes, n_probes)),
         )
-    elif probe_bits >= 1:
+    else:
+        q = queries.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    if probe_bits >= 1:  # mutually exclusive with n_probes (guard above)
         masks = [0] + [1 << i for i in range(n_planes)]
         if probe_bits >= 2:
             masks += [
@@ -612,9 +613,16 @@ def dupes_plane_count(
     threshold (p = 1 − acos(τ)/π). Pure math, unit-tested directly."""
     size_based = min(30, max(2, int(np.ceil(np.log2(max(2.0, n_rows / 256.0))))))
     p = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+    if p >= 1.0:  # threshold 1.0: identical directions never cross a plane —
+        return size_based  # any plane count has zero miss; don't clamp
+    if p <= 0.0:
+        return 1
     per_table_min = 1.0 - (1.0 - recall_target) ** (1.0 / n_tables)
-    k_max = int(np.floor(np.log(per_table_min) / np.log(p))) if 0 < p < 1 else 1
-    return max(1, min(size_based, k_max))
+    # floor of 1: if even a single plane misses the target (very low τ with
+    # few tables), 1 plane is the best LSH can do — the residual shortfall
+    # is table-count-limited; raise n_tables, not trust this floor
+    k_max = max(1, int(np.floor(np.log(per_table_min) / np.log(p))))
+    return min(size_based, k_max)
 
 
 def embedding_dupes(
@@ -792,7 +800,11 @@ def ivfpq_topk(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub), books)
-    qprobe = (qmat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+    # argsort(-sims), NOT argsort()[::-1]: matches ivf_assign's tie-breaking
+    # (stable sort prefers the LOWER centroid index on equal similarity), so
+    # a vector encoded into a tied list is never probed-around by its own
+    # query (r3 review finding)
+    qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
 
     spark = vectors.sparkSession
     probe_rows = [

@@ -89,12 +89,18 @@ def write_checkpointed(
         .partitionBy(part_col)
         .parquet(data_path(base))
     )
+    from pyspark.errors import AnalysisException
+
     try:
         # explicit schema: partition directory values parse as the INPUT key
         # type instead of being re-inferred from directory names (a string
         # '0012' would otherwise come back as bigint 12 and collide with '12')
         written = spark.read.schema(df.schema).parquet(data_path(base))
-    except Exception:  # first run wrote zero rows: no files, nothing done
+    except AnalysisException:
+        # ONLY the path-missing case (first run wrote zero rows → no files).
+        # Any other read failure must propagate: swallowing it would report
+        # a successful write as written_keys=0 and skip the manifest append,
+        # re-executing those keys on every later resume (r3 review finding).
         return {"written_keys": 0, "skipped_keys": skipped, "rows": 0}
     if done is not None:
         if skipped <= ISIN_PRUNE_MAX_KEYS:

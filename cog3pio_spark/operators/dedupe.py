@@ -246,6 +246,11 @@ def _simhash_blocking_plan(n_docs: int, max_hamming: int) -> tuple[int, int]:
     else:
         # large-d tail: s=8,c=2 → 28 combos, 16-bit keys
         s, c = 8, 2
+    # completeness requires combo ≤ s − max_hamming AND s ≥ max_hamming + 1;
+    # shrinking combo alone cannot fix an s that is too small (r3 review:
+    # s=4, d=6 would drop pairs differing in all four segments no matter the
+    # combo). Grow s first, then clamp combo.
+    s = max(s, max_hamming + 1)
     return s, min(c, max(1, s - max_hamming))
 
 
@@ -263,8 +268,10 @@ def simhash_dupes(
     (combo_id, segment values) keys for every (segments − max_hamming)-sized
     segment combination. Any pair within distance d keeps ≥ s−d segments
     intact, so some combo key matches exactly (guaranteed complete when
-    combo ≤ segments − max_hamming; both the auto plan and the explicit
-    ``segments=`` path clamp combo to that bound). The final exact bit_count
+    combo ≤ segments − max_hamming AND segments ≥ max_hamming + 1; the auto
+    plan enforces both — it grows segments past max_hamming before clamping
+    combo — while an explicit ``segments=`` below max_hamming + 1 cannot be
+    complete and is the caller's informed trade). The final exact bit_count
     filter makes the OUTPUT independent of
     the blocking plan — segments only trades candidate volume vs bucket
     saturation (corpus-size-aware default via _simhash_blocking_plan).

@@ -133,9 +133,12 @@ def knn_sort_merge(
     # Callers with table stats skip both preparatory jobs (VERDICT r2 #4):
     # ``total_rows=`` skips the count, ``cuts=`` (precomputed curve cut
     # points, e.g. from a previous run or partition metadata) skips count
-    # AND approxQuantile. Cut precision only affects balance, never
-    # correctness (any fixed thresholds partition the curve validly —
-    # ghost rows repair every boundary).
+    # AND approxQuantile. Ghost rows repair ADJACENT-bucket boundaries, so
+    # supplied cuts inherit the same precondition as the auto path: every
+    # INTERIOR bucket must hold ≥ scan_width rows. A thin middle bucket
+    # (fewer rows than scan_width between two cuts) shrinks the frames that
+    # overhang it — empty/thin EDGE buckets are harmless. Cut balance beyond
+    # that only affects task skew, never correctness.
     spark = both.sparkSession
     if cuts is None:
         total = total_rows if total_rows is not None else both.count()

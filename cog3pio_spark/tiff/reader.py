@@ -242,7 +242,11 @@ class CogReader:
         )
 
     # -- pixel decode ------------------------------------------------------
-    def _chunk(self, off: int, n: int) -> bytes:
+    def _chunk(self, off: int, n: int, out_size: int | None = None) -> bytes:
+        """Decompress one tile/strip. ``out_size`` is the exact decoded byte
+        count known from the chunk geometry (dims × samples × itemsize) —
+        required so ZSTD frames without an embedded content size don't make
+        the decompressor pre-allocate a worst-case buffer per chunk."""
         raw = self._buf[off : off + n]
         if self.compression == 8:
             return zlib.decompress(raw)
@@ -269,7 +273,7 @@ class CogReader:
                     "environment"
                 ) from e
             return zstandard.ZstdDecompressor().decompress(
-                raw, max_output_size=1 << 31
+                raw, max_output_size=out_size or (1 << 26)
             )
         raise TiffDecodeError(
             f"unsupported error: compression {self.compression} is unsupported"
@@ -328,9 +332,10 @@ class CogReader:
                     x0 >= wx1 or y0 >= wy1 or x0 + tw <= wx0 or y0 + th <= wy0
                 ):
                     continue  # tile outside window: never decompressed
-                tile = np.frombuffer(self._chunk(off, cnt), self._stored_dtype).astype(
-                    self.dtype, copy=False
-                )
+                tile_bytes = th * tw * self.samples * self.dtype.itemsize
+                tile = np.frombuffer(
+                    self._chunk(off, cnt, tile_bytes), self._stored_dtype
+                ).astype(self.dtype, copy=False)
                 tile = self._unpredict(tile.reshape(th, tw, self.samples))
                 h = min(th, self.height - y0)
                 w = min(tw, self.width - x0)
@@ -351,8 +356,10 @@ class CogReader:
             if window is not None:
                 s_lo = wy0 // rows_per_strip
                 s_hi = (wy1 - 1) // rows_per_strip
+                strip_bytes = rows_per_strip * self.width * self.samples * self.dtype.itemsize
                 raw = b"".join(
-                    self._chunk(offs[s], counts[s]) for s in range(s_lo, s_hi + 1)
+                    self._chunk(offs[s], counts[s], strip_bytes)
+                    for s in range(s_lo, s_hi + 1)
                 )
                 dec = self._unpredict(
                     np.frombuffer(raw, self._stored_dtype)
@@ -364,7 +371,8 @@ class CogReader:
                 crop = dec[wy0 - s_lo * rows_per_strip : wy1 - s_lo * rows_per_strip,
                            wx0:wx1, :]
                 return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
-            raw = b"".join(self._chunk(o, c) for o, c in zip(offs, counts))
+            strip_bytes = rows_per_strip * self.width * self.samples * self.dtype.itemsize
+            raw = b"".join(self._chunk(o, c, strip_bytes) for o, c in zip(offs, counts))
             flat = np.frombuffer(raw, self._stored_dtype).astype(self.dtype, copy=False)
             if self.predictor == 2:
                 flat = self._unpredict(

@@ -275,8 +275,14 @@ def _image_section(
         if compression == "zstd":
             if compressor is not None:
                 return compressor(buf)
-            import zstandard  # noqa: PLC0415 (environment-gated like the reader)
-
+            try:  # environment-gated like the reader (same error contract)
+                import zstandard  # noqa: PLC0415
+            except ImportError as e:
+                raise ValueError(
+                    "compression 'zstd' requires the 'zstandard' package "
+                    "(unavailable in this environment) or an explicit "
+                    "compressor= callable"
+                ) from e
             return zstandard.ZstdCompressor().compress(buf)
         return buf
 

@@ -50,4 +50,7 @@ def test_golden_dedupe_sf01_bounded(spark):
     verdict = golden_compare(actual, _golden(spark, "dedupe_sf01"))
     elapsed = time.time() - t0
     assert verdict["match"], verdict
-    assert elapsed < 120, f"dedupe golden took {elapsed:.0f}s — scale regression?"
+    # loose bound: ~20 s nominal, 15x headroom for box load — a quadratic
+    # regression (uncapped bucket / all-pairs join: >=(n/cap)^2 tasks) still
+    # lands orders of magnitude past it
+    assert elapsed < 300, f"dedupe golden took {elapsed:.0f}s — scale regression?"

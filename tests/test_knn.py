@@ -144,8 +144,10 @@ def test_sort_merge_stat_hints_skip_jobs_same_output(clustered):
     b = {(r["query_id"], r["rank"], r["point_id"]) for r in hinted.collect()}
     assert a == b
 
-    # arbitrary (even unbalanced) cuts stay CORRECT — ghosts repair every
-    # boundary; and with cuts supplied, count/approxQuantile are never called
+    # unbalanced cuts whose interior buckets still hold >= scan_width rows
+    # (or are edge-empty) stay CORRECT — ghosts repair adjacent boundaries;
+    # a THIN MIDDLE bucket would shrink frames (documented precondition).
+    # With cuts supplied, count/approxQuantile are never called.
     with mock.patch.object(
         type(queries), "count", side_effect=AssertionError("count() called despite cuts hint")
     ):

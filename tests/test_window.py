@@ -33,7 +33,9 @@ def test_window_skips_tiles(tiled_file, monkeypatch):
     r = CogReader(open(p, "rb").read())
     calls = []
     orig = r._chunk
-    monkeypatch.setattr(r, "_chunk", lambda o, c: calls.append(o) or orig(o, c))
+    monkeypatch.setattr(
+        r, "_chunk", lambda o, c, s=None: calls.append(o) or orig(o, c, s)
+    )
     r.to_numpy(window=(0, 0, 16, 16))  # exactly one 16×16 tile
     assert len(calls) == 1
     calls.clear()

@@ -100,7 +100,8 @@ def build_dedupe_sf01(spark):
         simhash_dupes,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     exact = (
         exact_dedupe(docs)
         .filter(F.col("n_copies") > 1)
