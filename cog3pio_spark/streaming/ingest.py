@@ -129,6 +129,54 @@ def windowed_media_counts(docs_stream: DataFrame, window: str = "10 minutes") ->
     )
 
 
+def streaming_flagship(
+    docs_stream: DataFrame,
+    polygons: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    prune_text: bool = False,
+) -> None:
+    """Continuous ingest of the FLAGSHIP pipeline (r3): each micro-batch of
+    interleaved docs runs the exact batch operator chain — span explode →
+    media_ref pre-agg + HLL doc sketches → fused decode/assign/PIP kernel →
+    per-polygon rollup — via foreachBatch against the static polygon layer.
+
+    Output is one per-polygon aggregate row set PER EPOCH, partitioned by
+    ``_epoch`` with dynamic partition overwrite, so a replayed batch
+    overwrites its own partition (idempotent, same contract as
+    streaming_knn). Epoch rows are incremental rollups: exactly what the
+    batch pipeline produces on that epoch's documents (parity pinned in
+    tests/test_streaming.py::test_streaming_flagship_matches_batch).
+    Cross-epoch totals are a plain second-stage groupBy for the additive
+    columns (n_spans, n_tiles, sum_tile_mean). n_docs is the WITHIN-epoch
+    distinct estimate — the pipeline emits the HLL estimate, not the sketch,
+    so per-epoch values do not merge into a cross-epoch distinct count (a
+    doc spanning two epochs would double-count); callers needing global
+    distinct docs run the batch pipeline over the drained table.
+    """
+    from cog3pio_spark.plans.flagship import flagship_pipeline
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (
+            flagship_pipeline(df, polygons, prune_text=prune_text)
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_knn(
     query_stream: DataFrame,
     points: DataFrame,

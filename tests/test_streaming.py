@@ -159,3 +159,63 @@ def test_streaming_knn_matches_batch(spark, tmp_path):
     stream2 = spark.readStream.schema("query_id long, lat double, lng double").parquet(qdir)
     streaming_knn(stream2, points, out, ckpt, k=3, res=6, ring=2)
     assert spark.read.parquet(out).count() == 8 * 3
+
+
+def test_streaming_flagship_matches_batch(spark, fixture_refs, tmp_path):
+    """r3: the full flagship pipeline over a doc stream. Two input files →
+    two epochs (maxFilesPerTrigger=1); each epoch's per-polygon rollup must
+    EXACTLY equal the batch pipeline run on that epoch's documents, and a
+    checkpoint-resumed rerun adds nothing (idempotent epoch partitions)."""
+    from cog3pio_spark.fixtures.docs import interleaved_docs
+    from cog3pio_spark.fixtures.polygons import polygons_df
+    from cog3pio_spark.plans.flagship import flagship_pipeline
+    from cog3pio_spark.streaming.ingest import streaming_flagship
+
+    polys = polygons_df(spark, 16)
+    docs = interleaved_docs(spark, 240, fixture_refs)
+    half_a = docs.filter(F.xxhash64("doc_id") % 2 == 0).coalesce(1)
+    half_b = docs.filter(F.xxhash64("doc_id") % 2 == 1).coalesce(1)
+    indir = str(tmp_path / "docs_in")
+    half_a.write.parquet(indir)  # first file
+    half_b.write.mode("append").parquet(indir)  # second file
+
+    out = str(tmp_path / "flag_out")
+    ckpt = str(tmp_path / "flag_ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    streaming_flagship(stream, polys, out, ckpt)
+
+    got = spark.read.parquet(out)
+    epochs = [r["_epoch"] for r in got.select("_epoch").distinct().collect()]
+    assert len(epochs) == 2
+
+    def rows(df):
+        return {
+            (r["polygon_id"], r["n_spans"], r["n_docs"], r["n_tiles"],
+             round(r["sum_tile_mean"], 6))
+            for r in df.collect()
+        }
+
+    # each epoch == batch pipeline on that epoch's docs (order unknown:
+    # compare as a multiset of per-epoch row sets)
+    stream_sets = sorted(
+        (tuple(sorted(rows(got.filter(F.col("_epoch") == e).drop("_epoch")))))
+        for e in epochs
+    )
+    batch_sets = sorted(
+        tuple(sorted(rows(flagship_pipeline(h, polys)))) for h in (half_a, half_b)
+    )
+    assert stream_sets == batch_sets
+
+    # resume: drained checkpoint reprocesses nothing
+    n_before = got.count()
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    streaming_flagship(stream2, polys, out, ckpt)
+    assert spark.read.parquet(out).count() == n_before
