@@ -176,3 +176,69 @@ def test_packbits_roundtrip_property(data):
     from cog3pio_spark.tiff.writer import packbits_encode
 
     assert _packbits_decode(packbits_encode(data)) == data
+
+
+# -- TIFF codec roundtrip fuzz (r3) ------------------------------------------
+_dtypes = st.sampled_from(["uint8", "uint16", "int16", "int32", "float32", "float64"])
+_comps = st.sampled_from(["none", "deflate", "lzw", "packbits"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _dtypes,
+    _comps,
+    st.integers(min_value=1, max_value=3),   # bands
+    st.integers(min_value=1, max_value=21),  # height
+    st.integers(min_value=1, max_value=23),  # width
+    st.booleans(),                           # tiled
+    st.booleans(),                           # predictor 2 (ints only)
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_roundtrip_any_shape_dtype_compression(
+    dtype, comp, bands, h, w, tiled, predict, seed
+):
+    """write_tiff → CogReader must be the identity for every dtype ×
+    compression × layout × shape the writer claims to support — including
+    ragged edge tiles (shape not a multiple of tile_size) and single-pixel
+    images."""
+    import io
+
+    from cog3pio_spark.tiff.reader import CogReader
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    rng = np.random.RandomState(seed)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.randn(bands, h, w).astype(dtype)
+        predictor = 1  # predictor 2 is int-only (documented reject)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.randint(info.min, info.max, size=(bands, h, w)).astype(dtype)
+        predictor = 2 if predict else 1
+    buf = io.BytesIO()
+    write_tiff(buf, arr, tiled=tiled, tile_size=16, compression=comp, predictor=predictor)
+    back = CogReader(buf.getvalue()).to_numpy()
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == arr.dtype
+
+
+# -- embedding_dupes plane-count recall invariant (r3) ------------------------
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10**12),       # n_rows
+    st.floats(min_value=0.05, max_value=0.999),       # threshold
+    st.integers(min_value=2, max_value=64),           # n_tables
+    st.floats(min_value=0.5, max_value=0.999),        # recall_target
+)
+def test_dupes_plane_count_invariants(n_rows, threshold, n_tables, recall_target):
+    """Whenever more than one plane is chosen, the all-tables miss
+    probability for pairs AT the threshold must stay within 1 −
+    recall_target (the k=1 floor is the documented table-limited
+    exception); count is always ≥ 1 and ≤ the size-based value."""
+    from cog3pio_spark.operators.ann import dupes_plane_count
+
+    k = dupes_plane_count(n_rows, threshold, n_tables, recall_target)
+    size_based = min(30, max(2, int(np.ceil(np.log2(max(2.0, n_rows / 256.0))))))
+    assert 1 <= k <= size_based
+    p = 1.0 - np.arccos(threshold) / np.pi
+    if k > 1:
+        assert (1.0 - p**k) ** n_tables <= (1.0 - recall_target) + 1e-12
