@@ -548,3 +548,19 @@ def test_ivfpq_scan_prunes_lists(spark, tmp_path):
         "probed-list predicate did not reach the partition filter:\n"
         + "\n".join(scan_lines)
     )
+
+
+def test_top_cosine_pairs_guard_refuses_large_corpus(spark):
+    """The exact all-pairs variant is the oracle anchor, not a scale API: it
+    must refuse oversized corpora unless max_rows is raised explicitly."""
+    import pytest
+
+    from cog3pio_spark.operators.ann import top_cosine_pairs
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="oracle anchor"):
+        top_cosine_pairs(df, top_n=3, max_rows=10)
+    assert top_cosine_pairs(df, top_n=3).count() == 3  # default guard passes
