@@ -412,6 +412,33 @@ def q25_decode_tiles(spark, sf):
     )
 
 
+def q53_decode_window_range(spark, sf):
+    """Range-read windowed decode (r3, beyond-reference): open each fixture
+    COG through a range fetcher (header/IFD blocks only), decode an 8×8
+    pixel window fetching just the intersecting tile/strip ranges, and
+    report per-object IO (fetched_bytes). The reference always GETs the
+    whole object (src/python/adapters.rs:158-168) — this is the
+    cloud-optimized read COGs exist for. Rows-only: binary IO telemetry has
+    no SQL oracle; pixel exactness pinned in
+    tests/test_operators.py::test_decode_tiles_range_read_window and
+    tests/test_window.py::test_range_read_window_fetches_only_needed_bytes."""
+    from cog3pio_spark.fixtures.cogs import ensure_fixtures
+    from cog3pio_spark.operators.decode import decode_tiles
+
+    rows = ensure_fixtures()
+    refs = spark.createDataFrame(
+        [(r["media_ref"],) for r in rows if r["valid"]], ["media_ref"]
+    )
+    return decode_tiles(
+        refs.dropDuplicates(["media_ref"]), window=(0, 0, 8, 8), range_read=True
+    ).select(
+        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        "status", "height", "width",
+        F.round("mean", 6).alias("win_mean"),
+        (F.col("fetched_bytes") > 0).alias("ranged_io"),
+    ).orderBy("tile")
+
+
 def q26_multimodal_features(spark, sf):
     from cog3pio_spark.operators.multimodal import attach_media_meta, extract_features
 
@@ -897,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ship_latency": q44_ship_latency,
         "q45_string_functions": q45_string_functions,
         "q46_conditional_pivot": q46_conditional_pivot,
+        "q53_decode_window_range": q53_decode_window_range,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven

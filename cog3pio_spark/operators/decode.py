@@ -56,6 +56,7 @@ DECODE_SCHEMA = T.StructType(
         T.StructField("centroid_x", T.DoubleType(), True),
         T.StructField("centroid_y", T.DoubleType(), True),
         T.StructField("pixels", T.BinaryType(), True),
+        T.StructField("fetched_bytes", T.LongType(), True),
     ]
 )
 
@@ -82,35 +83,66 @@ _ARROW_SCHEMA = pa.schema(
         ("centroid_x", pa.float64()),
         ("centroid_y", pa.float64()),
         ("pixels", pa.binary()),
+        ("fetched_bytes", pa.int64()),
     ]
 )
 
 
 def _decode_one(
-    ref: str, include_pixels: bool, overview: int = 0, fetchers: dict | None = None
+    ref: str,
+    include_pixels: bool,
+    overview: int = 0,
+    fetchers: dict | None = None,
+    window: tuple[int, int, int, int] | None = None,
+    range_read: bool = False,
+    range_fetchers: dict | None = None,
 ) -> dict:
     """Decode one object. ``overview`` selects the COG pyramid level (0 =
     full res, reference parity; clamped to the deepest available level) —
     the predicate-pushdown hook: a query that only needs coarse statistics
     decodes 4^k× fewer pixels. ``fetchers`` extends the scheme registry for
     this call (rides the UDF closure to executors — driver-side
-    register_fetcher mutations do NOT propagate to workers)."""
+    register_fetcher mutations do NOT propagate to workers).
+
+    ``range_read=True`` (r3, beyond-reference) opens the object through a
+    range fetcher instead of a whole-object GET: header/IFD blocks only at
+    open, then exactly the tile ranges the (optional) ``window`` decode
+    touches — the cloud-optimized read the reference skips
+    (src/python/adapters.rs:158-168 GETs the entire file).
+    ``range_fetchers`` maps schemes to ``fn(ref) -> fetch_range`` factories
+    (file:// built in); refs whose scheme has no range factory fall back to
+    whole-object fetch with the same window semantics. ``fetched_bytes``
+    reports actual IO on the range path (None on the whole-object path —
+    there it is simply the object size)."""
     # imports inside the worker function: keeps the closure import-light
     from cog3pio_spark.tiff import reader as R
-    from cog3pio_spark.tiff.reader import CogReader
+    from cog3pio_spark.tiff.reader import CogReader, file_range_fetcher
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
     row["media_ref"] = ref
     try:
-        if fetchers:
-            scheme = ref.split("://", 1)[0] if "://" in ref else "file"
-            data = fetchers.get(scheme, R._path_to_bytes)(ref)
+        scheme = ref.split("://", 1)[0] if "://" in ref else "file"
+        cache = None
+        range_factory = None
+        if range_read:
+            factories = {"file": file_range_fetcher, **(range_fetchers or {})}
+            range_factory = factories.get(scheme)
+        if range_factory is not None:
+            probe = CogReader.from_fetcher(range_factory(ref))
+            cache = probe.range_cache
+            level = min(overview, probe.num_images - 1)
+            reader = CogReader(cache, image_index=level) if level else probe
         else:
-            data = R._path_to_bytes(ref)
-        probe = CogReader(data)  # tag parse only; decode is lazy
-        level = min(overview, probe.num_images - 1)
-        reader = CogReader(data, image_index=level) if level else probe
-        arr = reader.to_numpy()
+            if fetchers:
+                data = fetchers.get(scheme, R._path_to_bytes)(ref)
+            else:
+                data = R._path_to_bytes(ref)
+            probe = CogReader(data)  # tag parse only; decode is lazy
+            level = min(overview, probe.num_images - 1)
+            reader = CogReader(data, image_index=level) if level else probe
+        arr = reader.to_numpy(window=window)
+        if cache is not None:
+            row["fetched_bytes"] = int(cache.bytes_fetched)
     except Exception as exc:  # error-channel row, reference-shaped message
         row["status"] = "error"
         row["error_msg"] = str(exc)
@@ -143,6 +175,9 @@ def decode_tiles(
     ref_col: str = "media_ref",
     overview: int = 0,
     fetchers: dict | None = None,
+    window: tuple[int, int, int, int] | None = None,
+    range_read: bool = False,
+    range_fetchers: dict | None = None,
 ) -> DataFrame:
     """Decode each distinct media_ref into a tile-stats row.
 
@@ -151,13 +186,23 @@ def decode_tiles(
     pushed into the UDF (COG pyramid level selection). ``fetchers`` maps
     extra url schemes to ``fn(ref) -> bytes`` resolvers (picklable; shipped
     to executors in the UDF closure — file/http/https are built in).
+    ``window``/``range_read``/``range_fetchers``: decode only a pixel window
+    and, on the range path, fetch only the header + intersecting tile byte
+    ranges (see _decode_one; per-row ``fetched_bytes`` reports actual IO).
     """
     refs = refs.select(ref_col)
 
     def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             col = batch.column(0).to_pylist()
-            rows = [_decode_one(r, include_pixels, overview, fetchers) for r in col]
+            rows = [
+                _decode_one(
+                    r, include_pixels, overview, fetchers,
+                    window=window, range_read=range_read,
+                    range_fetchers=range_fetchers,
+                )
+                for r in col
+            ]
             if not rows:
                 continue
             yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)

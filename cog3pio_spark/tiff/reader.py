@@ -134,8 +134,66 @@ class AffineTransform:
         return (self.a, self.b, self.c, self.d, self.e, self.f)
 
 
-def _read_ifds(buf: bytes) -> tuple[list[dict[int, list]], str]:
-    """Parse the full IFD chain (image 0 = full resolution, 1.. = overviews).
+class RangeCache:
+    """Block-cached random access over a range fetcher — the engine's
+    range-read extension. The REFERENCE deliberately fetches the whole
+    object (src/python/adapters.rs:158-168, no HTTP range reads — SURVEY
+    §4.1 "negative result"); a 100 TB pipeline decoding windows/overviews
+    wants the opposite: fetch the header + exactly the tile byte ranges the
+    decode touches. Small (header/IFD) reads round up to ``block_size`` and
+    are cached; reads ≥ ``block_size`` (pixel chunks) bypass the cache and
+    fetch their exact range. ``ranges``/``bytes_fetched`` expose telemetry
+    for tests and metrics."""
+
+    def __init__(self, fetch_range, block_size: int = 64 * 1024):
+        self._fetch = fetch_range
+        self.block_size = block_size
+        self._blocks: dict[int, bytes] = {}
+        self.ranges = 0
+        self.bytes_fetched = 0
+
+    def read(self, off: int, n: int) -> bytes:
+        if n >= self.block_size:
+            out = self._fetch(off, n)
+            self.ranges += 1
+            self.bytes_fetched += len(out)
+            return out
+        bs = self.block_size
+        b0, b1 = off // bs, (off + max(n, 1) - 1) // bs
+        parts = []
+        for b in range(b0, b1 + 1):
+            blk = self._blocks.get(b)
+            if blk is None:
+                blk = self._fetch(b * bs, bs)
+                self.ranges += 1
+                self.bytes_fetched += len(blk)
+                self._blocks[b] = blk
+            parts.append(blk)
+        joined = parts[0] if len(parts) == 1 else b"".join(parts)
+        start = off - b0 * bs
+        return joined[start : start + n]
+
+
+def file_range_fetcher(path: str):
+    """Range fetcher over a local file (seek+read) for CogReader.from_fetcher.
+    Cloud deployments plug an HTTP Range / object-store ranged-GET callable
+    with the same (offset, length) -> bytes signature."""
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.exists(local):
+        raise TiffDecodeError(f"Cannot find file: {path}")
+
+    def fetch(off: int, n: int) -> bytes:
+        with open(local, "rb") as f:
+            f.seek(off)
+            return f.read(n)
+
+    return fetch
+
+
+def _read_ifds(rd) -> tuple[list[dict[int, list]], str]:
+    """Parse the full IFD chain (image 0 = full resolution, 1.. = overviews)
+    through a ``rd(offset, length) -> bytes`` accessor, so the same walk
+    works over an in-memory buffer or a range fetcher (header-only IO).
 
     Both byte orders are supported (``II`` little / ``MM`` big — the
     reference's tiff-crate backend reads both). Returns (ifds, byte_order)
@@ -145,34 +203,36 @@ def _read_ifds(buf: bytes) -> tuple[list[dict[int, list]], str]:
     is the engine's overview extension (north_star) — selection happens in
     CogReader(image_index=...).
     """
-    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+    head = rd(0, 8)
+    if len(head) < 8 or head[:2] not in (b"II", b"MM"):
         raise TiffDecodeError("Cannot parse TIFF header: bad byte-order mark")
-    bo = "<" if buf[:2] == b"II" else ">"
+    bo = "<" if head[:2] == b"II" else ">"
     try:
-        magic, ifd_offset = struct.unpack_from(bo + "HI", buf, 2)
+        magic, ifd_offset = struct.unpack_from(bo + "HI", head, 2)
         if magic != 42:
             raise TiffDecodeError(f"Cannot parse TIFF header: bad magic {magic}")
         ifds: list[dict[int, list]] = []
         while ifd_offset != 0 and len(ifds) < 32:  # 32 = runaway-chain guard
             tags: dict[int, list] = {}
-            (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_offset)
-            pos = ifd_offset + 2
-            for _ in range(n_entries):
-                tag, typ, count = struct.unpack_from(bo + "HHI", buf, pos)
+            (n_entries,) = struct.unpack(bo + "H", rd(ifd_offset, 2))
+            # one read covers every 12-byte entry plus the next-IFD pointer
+            entries = rd(ifd_offset + 2, n_entries * 12 + 4)
+            for i in range(n_entries):
+                pos = i * 12
+                tag, typ, count = struct.unpack_from(bo + "HHI", entries, pos)
                 size = W._TYPE_SIZES.get(typ)
                 if size is None:  # unknown entry type: skip
-                    pos += 12
                     continue
                 total = size * count
                 if total <= 4:
-                    off = pos + 8
+                    payload = entries[pos + 8 : pos + 8 + total]
                 else:
-                    (off,) = struct.unpack_from(bo + "I", buf, pos + 8)
+                    (off,) = struct.unpack_from(bo + "I", entries, pos + 8)
+                    payload = rd(off, total)
                 fmt = bo + W._TYPE_FMT[typ] * count
-                tags[tag] = list(struct.unpack_from(fmt, buf, off))
-                pos += 12
+                tags[tag] = list(struct.unpack(fmt, payload))
             ifds.append(tags)
-            (ifd_offset,) = struct.unpack_from(bo + "I", buf, pos)
+            (ifd_offset,) = struct.unpack_from(bo + "I", entries, n_entries * 12)
     except struct.error as exc:
         raise TiffDecodeError(f"Cannot parse TIFF: truncated or corrupt ({exc})") from exc
     if not ifds:
@@ -189,11 +249,17 @@ class CogReader:
     reference's ``__dlpack__`` path.
     """
 
-    def __init__(self, data: bytes, image_index: int = 0):
+    def __init__(self, data, image_index: int = 0):
         """``image_index=0`` is the reference-parity full-resolution decode;
-        indices 1.. select COG overview levels (engine extension)."""
-        self._buf = data
-        self.ifds, self.byte_order = _read_ifds(data)
+        indices 1.. select COG overview levels (engine extension). ``data``
+        is a bytes-like whole object, or any object exposing
+        ``read(offset, length) -> bytes`` (e.g. :class:`RangeCache`) for
+        range-read access — prefer :meth:`from_fetcher` for the latter."""
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self._read = lambda off, n: bytes(data[off : off + n])
+        else:
+            self._read = data.read
+        self.ifds, self.byte_order = _read_ifds(self._read)
         if image_index >= len(self.ifds):
             raise TiffDecodeError(
                 f"Image index {image_index} out of range: file has "
@@ -241,13 +307,29 @@ class CogReader:
             self.dtype.newbyteorder(">") if self.byte_order == ">" else self.dtype
         )
 
+    @classmethod
+    def from_fetcher(
+        cls, fetch_range, image_index: int = 0, block_size: int = 64 * 1024
+    ):
+        """Open a COG through an ``(offset, length) -> bytes`` range fetcher
+        WITHOUT fetching the whole object — the true cloud-optimized read
+        path the reference lacks (it GETs the entire file,
+        src/python/adapters.rs:158-168). Construction reads only the
+        header/IFD blocks; :meth:`to_numpy(window=...)` then fetches exactly
+        the intersecting tile ranges. The reader's ``range_cache`` exposes
+        ``ranges``/``bytes_fetched`` telemetry."""
+        cache = RangeCache(fetch_range, block_size=block_size)
+        r = cls(cache, image_index=image_index)
+        r.range_cache = cache
+        return r
+
     # -- pixel decode ------------------------------------------------------
     def _chunk(self, off: int, n: int, out_size: int | None = None) -> bytes:
         """Decompress one tile/strip. ``out_size`` is the exact decoded byte
         count known from the chunk geometry (dims × samples × itemsize) —
         required so ZSTD frames without an embedded content size don't make
         the decompressor pre-allocate a worst-case buffer per chunk."""
-        raw = self._buf[off : off + n]
+        raw = self._read(off, n)
         if self.compression == 8:
             return zlib.decompress(raw)
         if self.compression == 5:

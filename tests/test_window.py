@@ -3,6 +3,8 @@ reference's full-image decode (src/io/geotiff.rs:39-64)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -59,3 +61,45 @@ def test_empty_window(tiled_file):
     r = CogReader(open(p, "rb").read())
     with pytest.raises(TiffDecodeError, match="Empty decode window"):
         r.to_numpy(window=(60, 0, 80, 10))  # fully outside
+
+
+def test_range_read_window_fetches_only_needed_bytes(tmp_path):
+    """Range-read COG path (r3, beyond-reference): opening via a range
+    fetcher reads only header/IFD blocks; a window decode then fetches only
+    the intersecting tile ranges. The reference always GETs the whole
+    object (src/python/adapters.rs:158-168) — this is the cloud-optimized
+    behavior the format exists for. Pixels must equal the whole-buffer
+    decode exactly."""
+    from cog3pio_spark.tiff.reader import CogReader, file_range_fetcher
+
+    rng = np.random.RandomState(3)
+    arr = (rng.rand(1, 256, 256) * 255).astype("uint8")
+    p = str(tmp_path / "big.tif")
+    write_tiff(p, arr, tiled=True, tile_size=16, compression="deflate")
+    file_size = os.path.getsize(p)
+
+    calls = []
+    inner = file_range_fetcher(p)
+
+    def spy(off, n):
+        calls.append((off, n))
+        return inner(off, n)
+
+    r = CogReader.from_fetcher(spy, block_size=4096)
+    header_bytes = r.range_cache.bytes_fetched
+    assert header_bytes < file_size // 4  # construction never reads pixels
+
+    win = r.to_numpy(window=(3, 5, 40, 29))
+    np.testing.assert_array_equal(
+        win, CogReader(open(p, "rb").read()).to_numpy(window=(3, 5, 40, 29))
+    )
+    np.testing.assert_array_equal(win, arr[:, 5:29, 3:40])
+    # 16x16 tile grid: window spans tiles x 0..2, y 0..1 -> 6 of 256 tiles;
+    # total fetched stays a sliver of the file
+    assert r.range_cache.bytes_fetched < file_size // 4, (
+        r.range_cache.bytes_fetched, file_size
+    )
+
+    # full decode through the range path still equals the buffer path
+    r2 = CogReader.from_fetcher(file_range_fetcher(p))
+    np.testing.assert_array_equal(r2.to_numpy(), arr)
