@@ -699,17 +699,25 @@ def train_pq_codebooks(
     seed: int = 277,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: split the (normalized) vector into
     ``m`` contiguous subspaces of dim/m and k-means each on a fixed
     id-ordered sample. Returns (m, k, dim/m). Deterministic (seeded, fixed
     iterations) like the IVF trainers. At 100 TB this is the storage story:
     a 64-float embedding becomes m uint8 codes (32x smaller), scored without
-    decompression."""
+    decompression.
+
+    ``centroids``: train on RESIDUALS v − c(v) against these IVF centroids
+    (classic IVFADC) — residuals have far smaller spread than raw vectors,
+    so the same byte budget quantizes much finer. Encode/score must then use
+    the same centroids (pq_encode/ivfpq_topk keep the contract)."""
     assert dim % m == 0, "dim must be divisible by m"
     sub = dim // m
     rows = _deterministic_sample(vectors, vec_col, id_col, sample)
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    if centroids is not None:
+        mat = mat - centroids[(mat @ centroids.T).argmax(axis=1)]
     rng = np.random.RandomState(seed)
     books = np.zeros((m, k, sub))
     for j in range(m):
@@ -729,13 +737,19 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode(vec: F.Column, books: np.ndarray) -> F.Column:
-    """ARRAY<SHORT> of per-subspace code ids (m entries, each < 256)."""
+def pq_encode(
+    vec: F.Column, books: np.ndarray, centroids: np.ndarray | None = None
+) -> F.Column:
+    """ARRAY<SHORT> of per-subspace code ids (m entries, each < 256).
+    With ``centroids``, codes quantize the residual v − c(v) (IVFADC) —
+    must match how ``books`` were trained."""
     m, k, sub = books.shape
 
     @pandas_udf(T.ArrayType(T.ShortType()))
     def _enc(vecs: pd.Series) -> pd.Series:
         mat = _normalize(np.vstack(vecs.to_numpy()))
+        if centroids is not None:
+            mat = mat - centroids[(mat @ centroids.T).argmax(axis=1)]
         out = np.zeros((len(mat), m), dtype=np.int16)
         for j in range(m):
             part = mat[:, j * sub : (j + 1) * sub]
@@ -756,15 +770,19 @@ def ivfpq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
 ) -> DataFrame:
     """(id, ivf_list, pq) — the stored index layout for IVF-PQ: one int list
     id (partition/pruning key) + m small-int codes per vector. At 10⁹+
     vectors this is what sits on disk, partitioned by ivf_list, so a probe
-    touches only nprobe/n_centroids of the files."""
+    touches only nprobe/n_centroids of the files. ``residual=True`` (IVFADC
+    default) quantizes v − c(v); ``books`` must be trained the same way."""
     return vectors.select(
         F.col(id_col),
         F.element_at(ivf_assign(F.col(vec_col), centroids, 1), 1).alias("ivf_list"),
-        pq_encode(F.col(vec_col), books).alias("pq"),
+        pq_encode(
+            F.col(vec_col), books, centroids=centroids if residual else None
+        ).alias("pq"),
     )
 
 
@@ -782,6 +800,7 @@ def ivfpq_topk(
     encoded: DataFrame | None = None,
     centroids: np.ndarray | None = None,
     books: np.ndarray | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ: inverted-list pruning × product-quantized ADC scoring — the
     composition VERDICT r2 #4 asked for, and the actual 10⁹-vector serving
@@ -789,6 +808,14 @@ def ivfpq_topk(
     as (ivf_list:int, pq:m bytes); a query probes its ``nprobe`` nearest
     lists and ADC-scores only those lists' codes via a per-query (m, 256)
     lookup table — no float vectors and no full-corpus scan at query time.
+
+    ``residual=True`` is classic IVFADC: codes quantize v − c(v) (the
+    residual spread is far smaller than raw vectors, so the same m bytes
+    quantize much finer) and the score decomposes exactly as
+    ⟨q, c_list⟩ + Σ_j LUT[q, j, code_j] — the ⟨q, c_list⟩ constant rides
+    the broadcast probe table as a column, costing nothing at scan time.
+    Recall improvement pinned by
+    tests/test_training_ops.py::test_ivfpq_residual_beats_raw.
 
     The probed-list set is a driver-side literal, so the ``isin`` filter on
     ``ivf_list`` is a pushable predicate: over a parquet/Iceberg layout
@@ -807,9 +834,15 @@ def ivfpq_topk(
             vectors, dim, n_centroids, vec_col=vec_col, id_col=id_col
         )
     if books is None:
-        books = train_pq_codebooks(vectors, dim, m=m, vec_col=vec_col, id_col=id_col)
+        books = train_pq_codebooks(
+            vectors, dim, m=m, vec_col=vec_col, id_col=id_col,
+            centroids=centroids if residual else None,
+        )
     if encoded is None:
-        encoded = ivfpq_encode(vectors, centroids, books, id_col=id_col, vec_col=vec_col)
+        encoded = ivfpq_encode(
+            vectors, centroids, books, id_col=id_col, vec_col=vec_col,
+            residual=residual,
+        )
     sub = books.shape[2]
 
     qrows = queries.select(query_id_col, vec_col).collect()
@@ -820,14 +853,23 @@ def ivfpq_topk(
     # (stable sort prefers the LOWER centroid index on equal similarity), so
     # a vector encoded into a tied list is never probed-around by its own
     # query (r3 review finding)
-    qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    qsims = qmat @ centroids.T
+    qprobe = np.argsort(-qsims, axis=1)[:, :nprobe]
 
     spark = vectors.sparkSession
     probe_rows = [
-        (int(qids[qi]), int(lst)) for qi in range(len(qids)) for lst in qprobe[qi]
+        # qc = <q, c_list>: the residual score's constant term (0.0 when
+        # scoring raw codes — the LUT then carries the whole score)
+        (
+            int(qids[qi]),
+            int(lst),
+            float(qsims[qi, lst]) if residual else 0.0,
+        )
+        for qi in range(len(qids))
+        for lst in qprobe[qi]
     ]
-    probe = spark.createDataFrame(probe_rows, [query_id_col, "ivf_list"])
-    probed_lists = sorted({lst for _, lst in probe_rows})
+    probe = spark.createDataFrame(probe_rows, [query_id_col, "ivf_list", "qc"])
+    probed_lists = sorted({lst for _, lst, _ in probe_rows})
 
     cand = F.broadcast(probe).join(
         # literal isin BEFORE the join: prunes list-partitioned storage at
@@ -852,7 +894,11 @@ def ivfpq_topk(
                 continue
             codes = np.vstack(pdf["pq"].to_numpy()).astype(np.int64)  # (rows, m)
             qi = pdf[query_id_col].map(qidx).to_numpy()
-            scores = np.round(lut[qi[:, None], j_idx[None, :], codes].sum(axis=1), 6)
+            scores = np.round(
+                pdf["qc"].to_numpy()
+                + lut[qi[:, None], j_idx[None, :], codes].sum(axis=1),
+                6,
+            )
             ids = pdf[id_col].to_numpy()
             qs = pdf[query_id_col].to_numpy()
             out = {"query_id": [], id_col: [], "pq_score": []}
@@ -864,7 +910,7 @@ def ivfpq_topk(
                 out["pq_score"].extend(scores[sel][order].tolist())
             yield pd.DataFrame(out)
 
-    scored = cand.select(query_id_col, id_col, "pq").mapInPandas(
+    scored = cand.select(query_id_col, id_col, "pq", "qc").mapInPandas(
         _adc_probe_topk, part_schema
     )
     w = Window.partitionBy("query_id").orderBy(

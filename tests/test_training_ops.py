@@ -503,6 +503,38 @@ def test_ivfpq_topk_recall(spark):
     assert len(ids & {0, 1, 2, 3, 4, 5}) >= 5
 
 
+def test_ivfpq_residual_beats_raw(spark):
+    """IVFADC residual encoding: quantizing v − c(v) must rank at least as
+    many true top-k neighbors as quantizing raw vectors at the same byte
+    budget (residual spread ≪ raw spread ⇒ finer codewords)."""
+    from cog3pio_spark.operators.ann import brute_force_topk, ivfpq_topk
+
+    rng = np.random.RandomState(71)
+    # clustered corpus (real embedding spaces cluster; residuals are the
+    # within-cluster offsets the finer codewords capture)
+    centers = rng.randn(8, 16) * 3
+    mat = np.vstack([centers[i % 8] + rng.randn(1, 16) for i in range(600)])
+    qv = centers[3] + rng.randn(16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(600)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame([(9, [float(x) for x in qv])], ["query_id", "embedding"])
+    truth = {r["vec_id"] for r in brute_force_topk(df, [(9, list(qv))], k=10).collect()}
+    raw = {
+        r["vec_id"]
+        for r in ivfpq_topk(df, qdf, dim=16, k=10, m=4, n_centroids=8,
+                            nprobe=8, residual=False).collect()
+    }
+    res = {
+        r["vec_id"]
+        for r in ivfpq_topk(df, qdf, dim=16, k=10, m=4, n_centroids=8,
+                            nprobe=8, residual=True).collect()
+    }
+    # nprobe = all lists isolates the QUANTIZATION error from list pruning
+    assert len(res & truth) >= len(raw & truth)
+    assert len(res & truth) >= 6
+
+
 def test_ivfpq_scan_prunes_lists(spark, tmp_path):
     """The probed-list isin predicate must reach the file source as a
     PARTITION filter over an ivf_list-partitioned layout — the scan reads
@@ -522,7 +554,7 @@ def test_ivfpq_scan_prunes_lists(spark, tmp_path):
         [(i, [float(x) for x in mat[i]]) for i in range(400)], ["vec_id", "embedding"]
     )
     cents = train_ivf_centroids(df, 16, n_centroids=8)
-    books = train_pq_codebooks(df, 16, m=4)
+    books = train_pq_codebooks(df, 16, m=4, centroids=cents)  # residual contract
     idx_path = str(tmp_path / "ivfpq_index")
     ivfpq_encode(df, cents, books).write.partitionBy("ivf_list").parquet(idx_path)
     encoded = spark.read.parquet(idx_path)
