@@ -25,18 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the upstream scan has fewer splits than cores.
-
-    The interpreted/vectorized per-doc kernels downstream (gram transform,
-    simhash UDF) otherwise serialize on one task when the input is a single
-    small file (measured r3 at sf0.1: ngram 7.9→1.5 s, simhash 8.8→1.8 s).
-    At web scale the scan already has thousands of splits and this is a
-    no-op — never an extra shuffle on a big table."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from cog3pio_spark.session import spread_small_scan as _spread_small_scan
 
 
 # -- exact ------------------------------------------------------------------

@@ -302,13 +302,17 @@ def knn_join(
     # covered part of it; measured 5.7 s → 5.3 s at sf0.1, and the win grows
     # with table size since the UDF scan is O(points) per branch). Per-call
     # materialization — no cross-run cache reuse.
-    q = queries.select(
+    from cog3pio_spark.session import spread_small_scan
+
+    # spread first: the h3x pandas_udf otherwise runs single-task on a
+    # single-split input (no-op at real scale; measured 5.3→2.9 s at sf0.1)
+    q = spread_small_scan(queries).select(
         query_id,
         F.col("lat").alias("q_lat"),
         F.col("lng").alias("q_lng"),
         C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("q_cell"),
     ).localCheckpoint(eager=True)
-    p = points.select(
+    p = spread_small_scan(points).select(
         point_id,
         F.col("lat").alias("p_lat"),
         F.col("lng").alias("p_lng"),
