@@ -435,7 +435,9 @@ def q53_decode_window_range(spark, sf):
         F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
         "status", "height", "width",
         F.round("mean", 6).alias("win_mean"),
-        (F.col("fetched_bytes") > 0).alias("ranged_io"),
+        # coalesce: NULL fetched_bytes (whole-object fallback / error rows)
+        # must record false, not null
+        F.coalesce(F.col("fetched_bytes") > 0, F.lit(False)).alias("ranged_io"),
     ).orderBy("tile")
 
 

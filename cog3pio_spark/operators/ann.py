@@ -141,11 +141,13 @@ def top_cosine_pairs(
     documented scale path) can be gate-checked equal to exact truth at test
     scale. A row-count guard refuses corpora past ``max_rows`` (10¹⁰ pairs)
     — raise it explicitly only when you mean to pay n²."""
-    n = vectors.count()
+    # bounded probe, not a full count (simhash_dupes pattern): the guard
+    # must not itself pay an O(n) scan on the huge corpus it refuses
+    n = vectors.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"top_cosine_pairs is the exact O(n^2) oracle anchor; corpus has "
-            f"{n} rows > max_rows={max_rows}. Use top_cosine_pairs_blocked "
+            f"> max_rows={max_rows} rows. Use top_cosine_pairs_blocked "
             f"(the scale path) or pass max_rows= explicitly to force."
         )
     cosine = cosine_pairs_udf()
@@ -469,7 +471,11 @@ def ivf_assign(vec: F.Column, centroids: np.ndarray, nprobe: int = 1) -> F.Colum
     def _a(vecs: pd.Series) -> pd.Series:
         mat = _normalize(np.vstack(vecs.to_numpy()))
         sims = mat @ cents.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        # kind="stable": on tied similarities the LOWER centroid index wins,
+        # matching argmax (r3 review: default introsort is unstable, so a
+        # tied vector could be stored in one list but residual-encoded /
+        # probed against another)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(top))
 
     return _a(vec)
@@ -596,12 +602,14 @@ def ivf2_topk(
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _probe(vecs: pd.Series) -> pd.Series:
         mat = _normalize(np.vstack(vecs.to_numpy()))
-        ctop = np.argsort(-(mat @ coarse.T), axis=1)[:, :nprobe_coarse]
+        # stable argsorts: tie-breaking matches _assign1's argmax (lowest
+        # index wins), so a vector in a tied list is always probed
+        ctop = np.argsort(-(mat @ coarse.T), axis=1, kind="stable")[:, :nprobe_coarse]
         out = []
         for i in range(len(mat)):
             lists = []
             for c in ctop[i]:
-                fs = np.argsort(-(fine[c] @ mat[i]))[:nprobe_fine]
+                fs = np.argsort(-(fine[c] @ mat[i]), kind="stable")[:nprobe_fine]
                 lists.extend(int(c) * nf + int(f) for f in fs)
             out.append(np.array(lists, dtype=np.int32))
         return pd.Series(out)
@@ -849,12 +857,13 @@ def ivfpq_topk(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = _normalize(np.array([list(r[1]) for r in qrows], dtype=np.float64))
     lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), m, sub), books)
-    # argsort(-sims), NOT argsort()[::-1]: matches ivf_assign's tie-breaking
-    # (stable sort prefers the LOWER centroid index on equal similarity), so
-    # a vector encoded into a tied list is never probed-around by its own
-    # query (r3 review finding)
+    # kind="stable" argsort of -sims: ties prefer the LOWER centroid index,
+    # exactly like ivf_assign's storage assignment and the argmax used for
+    # residual encoding — a vector in a tied list is never probed-around by
+    # its own query, and codes always quantize against the stored list's
+    # centroid (r3 review: plain argsort/[::-1] are both tie-unsafe)
     qsims = qmat @ centroids.T
-    qprobe = np.argsort(-qsims, axis=1)[:, :nprobe]
+    qprobe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
 
     spark = vectors.sparkSession
     probe_rows = [

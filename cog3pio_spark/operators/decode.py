@@ -127,19 +127,29 @@ def _decode_one(
         if range_read:
             factories = {"file": file_range_fetcher, **(range_fetchers or {})}
             range_factory = factories.get(scheme)
+            if (
+                fetchers
+                and scheme in fetchers
+                and scheme not in (range_fetchers or {})
+            ):
+                # a caller-supplied WHOLE-OBJECT fetcher for this scheme
+                # (decrypting/rewriting refs) must not be shadowed by the
+                # built-in range factory (r3 review finding): fall back to
+                # it unless the caller also supplied a range factory
+                range_factory = None
         if range_factory is not None:
             probe = CogReader.from_fetcher(range_factory(ref))
             cache = probe.range_cache
-            level = min(overview, probe.num_images - 1)
-            reader = CogReader(cache, image_index=level) if level else probe
         else:
             if fetchers:
                 data = fetchers.get(scheme, R._path_to_bytes)(ref)
             else:
                 data = R._path_to_bytes(ref)
             probe = CogReader(data)  # tag parse only; decode is lazy
-            level = min(overview, probe.num_images - 1)
-            reader = CogReader(data, image_index=level) if level else probe
+        level = min(overview, probe.num_images - 1)
+        # select_image reuses the parsed IFD chain — never a second header
+        # walk (on the range path that would refetch large tag payloads)
+        reader = probe.select_image(level) if level else probe
         arr = reader.to_numpy(window=window)
         if cache is not None:
             row["fetched_bytes"] = int(cache.bytes_fetched)

@@ -177,10 +177,10 @@ class RangeCache:
 def file_range_fetcher(path: str):
     """Range fetcher over a local file (seek+read) for CogReader.from_fetcher.
     Cloud deployments plug an HTTP Range / object-store ranged-GET callable
-    with the same (offset, length) -> bytes signature."""
-    local = path[len("file://"):] if path.startswith("file://") else path
-    if not os.path.exists(local):
-        raise TiffDecodeError(f"Cannot find file: {path}")
+    with the same (offset, length) -> bytes signature. Path normalization
+    and error taxonomy are EXACTLY the whole-object fetcher's (_local_path),
+    so a ref resolves identically on both paths."""
+    local = _local_path(path)
 
     def fetch(off: int, n: int) -> bytes:
         with open(local, "rb") as f:
@@ -260,6 +260,23 @@ class CogReader:
         else:
             self._read = data.read
         self.ifds, self.byte_order = _read_ifds(self._read)
+        self._bind_image(image_index)
+
+    def select_image(self, image_index: int) -> "CogReader":
+        """Same underlying source, different IFD — reuses the already-parsed
+        chain (no re-read: on the range path a second construction would
+        refetch every >block-size tag payload from remote storage, r3
+        review finding)."""
+        r = object.__new__(CogReader)
+        r._read = self._read
+        r.ifds = self.ifds
+        r.byte_order = self.byte_order
+        if hasattr(self, "range_cache"):
+            r.range_cache = self.range_cache
+        r._bind_image(image_index)
+        return r
+
+    def _bind_image(self, image_index: int) -> None:
         if image_index >= len(self.ifds):
             raise TiffDecodeError(
                 f"Image index {image_index} out of range: file has "
@@ -509,14 +526,22 @@ class CogReader:
         return x, y
 
 
-def _fetch_file(path: str) -> bytes:
+def _local_path(path: str) -> str:
+    """file:// URL → local path with the reference's error taxonomy
+    ("Cannot parse path:" / "Cannot find file:", adapters.rs:147-162).
+    Shared by the whole-object and range fetchers so the two paths can
+    never disagree on which refs resolve (r3 review finding)."""
     if "://" in path:
         path = "/" + path.split("://", 1)[1].lstrip("/")
     if path.startswith("\\") or "\x00" in path:
         raise TiffDecodeError(f"Cannot parse path: {path}")
     if not os.path.exists(path):
         raise FileNotFoundError(f"Cannot find file: {path}")
-    with open(path, "rb") as f:
+    return path
+
+
+def _fetch_file(path: str) -> bytes:
+    with open(_local_path(path), "rb") as f:
         return f.read()
 
 
