@@ -242,3 +242,39 @@ def test_dupes_plane_count_invariants(n_rows, threshold, n_tables, recall_target
     p = 1.0 - np.arccos(threshold) / np.pi
     if k > 1:
         assert (1.0 - p**k) ** n_tables <= (1.0 - recall_target) + 1e-12
+
+
+# -- RangeCache equivalence (r3) ----------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5000),           # object size
+    st.integers(min_value=16, max_value=512),           # block size
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6000),
+                  st.integers(min_value=0, max_value=1200)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_range_cache_reads_equal_byte_slices(size, block, reads, seed):
+    """RangeCache.read(off, n) must equal buf[off:off+n] for ANY read
+    pattern (cached small reads, direct large reads, EOF-clipped reads,
+    block-boundary straddles), and never fetch a byte twice for reads the
+    block cache covers."""
+    from cog3pio_spark.tiff.reader import RangeCache
+
+    rng = np.random.RandomState(seed)
+    buf = rng.bytes(size)
+
+    def fetch(off, n):
+        return buf[off : off + n]
+
+    rc = RangeCache(fetch, block_size=block)
+    for off, n in reads:
+        assert rc.read(off, n) == buf[off : off + n]
+    # re-reading the same small ranges is served from cache: zero new fetches
+    before = rc.ranges
+    for off, n in reads:
+        if n < block:
+            rc.read(off, n)
+    assert rc.ranges == before
