@@ -677,6 +677,52 @@ def q51_embedding_dupes(spark, sf):
     return embedding_dupes(emb, dim=64, threshold=0.45).orderBy("id_a", "id_b")
 
 
+def q54_audio_features(spark, sf):
+    """Audio-column pipeline (r3): deterministic seeded WAV blobs →
+    audio_meta (typed stream metadata, REAL RIFF/PCM decode — the second
+    in-repo media codec after TIFF) → per-window RMS/peak/zero-crossing
+    features → per-clip aggregates. Rows-only: binary payloads have no SQL
+    oracle; decode exactness pinned in
+    tests/test_training_ops.py::test_audio_wav_*."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cog3pio_spark.operators.multimodal import audio_features, audio_meta
+
+    rows = []
+    for i in range(6):
+        sr = 4000
+        t = np.arange(sr // 2) / sr  # 0.5 s clips
+        sig = 0.4 * np.sin(2 * np.pi * (200 + 60 * i) * t)
+        pcm = (sig * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        rows.append((f"clip{i}", buf.getvalue()))
+    rows.append(("broken", b"RIFFxxxxWAVE"))  # error-channel row
+    blobs = spark.createDataFrame(rows, ["media_id", "blob"])
+
+    meta = audio_meta(blobs).select(
+        "media_id", "status", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("dur_s"),
+    )
+    feat = (
+        audio_features(blobs, window_ms=100)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.sum("zero_crossings").alias("total_zc"),
+        )
+    )
+    return meta.join(feat, "media_id", "left").orderBy("media_id")
+
+
 def q52_ivfpq_topk(spark, sf):
     """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
     pruning × quantized ADC scores; recall + partition-pruning plan pinned in
@@ -927,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_string_functions": q45_string_functions,
         "q46_conditional_pivot": q46_conditional_pivot,
         "q53_decode_window_range": q53_decode_window_range,
+        "q54_audio_features": q54_audio_features,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven
