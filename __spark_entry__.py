@@ -723,6 +723,34 @@ def q54_audio_features(spark, sf):
     return meta.join(feat, "media_id", "left").orderBy("media_id")
 
 
+def q55_video_meta(spark, sf):
+    """Video-container metadata (r3): deterministic struct-built ISO-BMFF
+    blobs → video_meta (REAL box-tree parse: brand, mvhd duration, tkhd
+    dimensions) with an error-channel row. Rows-only (binary payloads);
+    parse exactness pinned in
+    tests/test_training_ops.py::test_video_mp4_container_metadata."""
+    import struct
+
+    from cog3pio_spark.operators.multimodal import video_meta
+
+    def box(btype, payload):
+        return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+    rows = []
+    for i in range(4):
+        ts, dur, w, h = 1000, (i + 1) * 1500, 320 * (i + 1), 180 * (i + 1)
+        mvhd = bytes(4) + b"\x00" * 8 + struct.pack(">II", ts, dur) + b"\x00" * 80
+        tkhd = bytes(4) + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
+        moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+        rows.append((f"vid{i}", box(b"ftyp", b"isom" + b"\x00" * 8) + moov))
+    rows.append(("bad", b"not a video container"))
+    blobs = spark.createDataFrame(rows, ["media_id", "blob"])
+    return video_meta(blobs).select(
+        "media_id", "status", "brand",
+        F.round("duration_s", 6).alias("dur_s"), "n_tracks", "width", "height",
+    ).orderBy("media_id")
+
+
 def q52_ivfpq_topk(spark, sf):
     """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
     pruning × quantized ADC scores; recall + partition-pruning plan pinned in
@@ -974,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_conditional_pivot": q46_conditional_pivot,
         "q53_decode_window_range": q53_decode_window_range,
         "q54_audio_features": q54_audio_features,
+        "q55_video_meta": q55_video_meta,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven

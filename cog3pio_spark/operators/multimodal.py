@@ -16,6 +16,8 @@ contracts — is real and tested; foreign decodes are never faked.
 * ``resize_media``       — REAL for TIFF (decode → resample → re-encode).
 * ``audio_meta`` / ``audio_features`` — REAL for WAV (r3): typed stream
   metadata + per-window RMS/peak/zero-crossing features over decoded PCM.
+* ``video_meta``         — REAL MP4/ISO-BMFF container parse (r3): brand,
+  duration, track count, video dimensions; frame DECODE stays stubbed.
 """
 
 from __future__ import annotations
@@ -42,6 +44,8 @@ def attach_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             .when(head.startswith("49492A00"), "image/tiff")
             .when(head.startswith("4D4D002A"), "image/tiff")
             .when(head.startswith("52494646"), "audio/wav")
+            # ISO-BMFF: bytes 5-8 are 'ftyp' (bytes 1-4 are the box size)
+            .when(F.hex(F.substring(b, 5, 4)) == "66747970", "video/mp4")
             .otherwise("application/octet-stream"),
             "byte_len": F.length(b),
         }
@@ -342,3 +346,101 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return sel.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+# -- video (REAL container metadata for MP4/ISO-BMFF; frame decode stays an
+#    honest stub — no ffmpeg in-sandbox) --------------------------------------
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_msg", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _parse_mp4(raw: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk → container metadata. REAL parse of the
+    box tree (ftyp brand, mvhd timescale/duration, tkhd track dimensions)
+    with struct only — the video analogue of the WAV/TIFF in-repo codecs.
+    Frame/sample DECODE stays out of scope (codec libraries absent); this
+    is the metadata a 100 TB curation pass filters on before any decode."""
+    import struct
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            size, btype = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("Cannot parse video: corrupt box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(raw) < 12:
+        raise ValueError("Cannot parse video: not an ISO-BMFF stream")
+    meta = {"brand": None, "duration_s": None, "n_tracks": 0,
+            "width": None, "height": None}
+    saw_ftyp = False
+    for btype, body, bend in boxes(raw, 0, len(raw)):
+        if btype == b"ftyp":
+            saw_ftyp = True
+            meta["brand"] = raw[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ctype, cbody, cend in boxes(raw, body, bend):
+                if ctype == b"mvhd":
+                    ver = raw[cbody]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", raw, cbody + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", raw, cbody + 12)
+                    meta["duration_s"] = float(dur) / ts if ts else 0.0
+                elif ctype == b"trak":
+                    meta["n_tracks"] += 1
+                    for ttype, tbody, tend in boxes(raw, cbody, cend):
+                        if ttype == b"tkhd":
+                            ver = raw[tbody]
+                            off = tbody + (96 if ver == 1 else 84) - 8
+                            w, h = struct.unpack_from(">II", raw, off)
+                            w, h = w >> 16, h >> 16  # 16.16 fixed point
+                            if w and h:  # video track (audio tracks are 0x0)
+                                meta["width"] = meta["width"] or int(w)
+                                meta["height"] = meta["height"] or int(h)
+    if not saw_ftyp:
+        raise ValueError("Cannot parse video: not an ISO-BMFF stream")
+    return meta
+
+
+def video_meta(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Typed container metadata per video blob (REAL for MP4/ISO-BMFF;
+    error-channel rows otherwise — decode operator contract)."""
+    sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_META_SCHEMA}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                out["media_id"].append(mid)
+                try:
+                    meta = _parse_mp4(bytes(blob or b""))
+                    out["status"].append("ok")
+                    out["error_msg"].append(None)
+                    for k in ("brand", "duration_s", "n_tracks", "width", "height"):
+                        out[k].append(meta[k])
+                except Exception as exc:
+                    out["status"].append("error")
+                    out["error_msg"].append(str(exc))
+                    for k in ("brand", "duration_s", "n_tracks", "width", "height"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(batches, VIDEO_META_SCHEMA)

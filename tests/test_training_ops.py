@@ -672,3 +672,51 @@ def test_audio_wav_float32_and_stereo(spark):
     # stereo averages to 0 everywhere -> rms 0 in every window
     f = audio_features(df, window_ms=100).collect()
     assert len(f) == 5 and all(abs(r["rms"]) < 1e-12 for r in f)
+
+
+def _mini_mp4(duration_s=2.5, timescale=1000, w=640, h=360, v1=False):
+    """Minimal valid ISO-BMFF: ftyp + moov{mvhd, trak{tkhd}} (struct-built)."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, int(duration_s * timescale)) + b"\x00" * 80
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + struct.pack(
+            ">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
+    tkhd = bytes(4) + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def test_video_mp4_container_metadata(spark):
+    """MP4/ISO-BMFF container metadata is REAL (struct box walk): brand,
+    mvhd duration (v0 and v1 boxes), track count, 16.16 fixed-point video
+    dimensions; junk blobs get the honest error row; magic sniffing labels
+    ftyp streams video/mp4."""
+    from cog3pio_spark.operators.multimodal import attach_media_meta, video_meta
+
+    rows = [
+        ("v0", _mini_mp4(duration_s=2.5)),
+        ("v1", _mini_mp4(duration_s=7.25, timescale=90000, w=1920, h=1080, v1=True)),
+        ("junk", b"\x00\x00\x00\x08beef" + b"x" * 16),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    got = {r["media_id"]: r for r in video_meta(df).collect()}
+
+    a = got["v0"]
+    assert a["status"] == "ok" and a["brand"] == "isom"
+    assert abs(a["duration_s"] - 2.5) < 1e-9
+    assert (a["n_tracks"], a["width"], a["height"]) == (1, 640, 360)
+    b = got["v1"]
+    assert abs(b["duration_s"] - 7.25) < 1e-9
+    assert (b["width"], b["height"]) == (1920, 1080)
+    assert got["junk"]["status"] == "error"
+    assert "Cannot parse video" in got["junk"]["error_msg"]
+
+    types = {r["media_id"]: r["media_type"] for r in attach_media_meta(df).collect()}
+    assert types["v0"] == "video/mp4" and types["junk"] == "application/octet-stream"
