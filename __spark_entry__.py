@@ -751,6 +751,29 @@ def q55_video_meta(spark, sf):
     ).orderBy("media_id")
 
 
+def q56_jpeg_decode(spark, sf):
+    """Baseline-JPEG decode (r3: third real in-repo codec after TIFF and
+    WAV — markers/Huffman/dequant/IDCT/420-upsampling/YCbCr in pure numpy,
+    interop-pinned within ±2 of Java ImageIO's decoder in tests/test_jpeg.py)
+    over the committed ImageIO-written fixtures: per-image pixel stats via
+    the extract_features pixel path. Rows-only (binary payloads)."""
+    from cog3pio_spark.operators.multimodal import extract_features
+
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    rows = [
+        (name, open(os.path.join(data_dir, name), "rb").read())
+        for name in ("java_gray.jpg", "java_rgb420.jpg")
+    ]
+    rows.append(("broken.jpg", b"\xff\xd8\xff\xe0garbage"))
+    blobs = spark.createDataFrame(rows, ["media_id", "blob"])
+    f = extract_features(blobs)
+    return f.select(
+        "media_id", "media_type",
+        F.round(F.element_at("features", 15), 6).alias("px_mean"),
+        F.round(F.element_at("features", 16), 6).alias("px_std"),
+    ).orderBy("media_id")
+
+
 def q52_ivfpq_topk(spark, sf):
     """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
     pruning × quantized ADC scores; recall + partition-pruning plan pinned in
@@ -1003,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_decode_window_range": q53_decode_window_range,
         "q54_audio_features": q54_audio_features,
         "q55_video_meta": q55_video_meta,
+        "q56_jpeg_decode": q56_jpeg_decode,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven

@@ -64,25 +64,46 @@ FEATURE_SCHEMA = T.StructType(
 def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """Per-blob fixed-size feature vector via mapInPandas (Arrow batches).
 
-    STUB NOTE: a real deployment would decode pixels here (PIL/ffmpeg absent
-    in-sandbox). The deterministic stand-in is a 16-bin byte histogram +
-    moments — byte-level but honest about the plumbing: batch iteration,
-    schema, and partitioning are exactly what a pixel decoder would use.
+    TIFF and baseline-JPEG blobs decode FOR REAL (in-repo codecs, r3) and
+    the 16-vector is computed over PIXELS (14-bin value histogram + mean +
+    std; media_type tagged ';decoded'). Other formats keep the byte-level
+    stand-in — same vector shape, honest about what was computed: batch
+    iteration, schema, and partitioning are identical either way.
     """
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cog3pio_spark.jpeg import decode_jpeg
+        from cog3pio_spark.tiff.reader import CogReader
+
+        def vec(values: np.ndarray) -> list[float]:
+            hist = np.histogram(values, bins=N_FEATURES - 2, range=(0, 255))[0]
+            hist = hist / values.size
+            return [*hist.tolist(), float(values.mean()), float(values.std())]
+
         for pdf in it:
             feats, types = [], []
             for blob in pdf[blob_col]:
-                raw = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
-                if raw.size == 0:
+                raw = bytes(blob or b"")
+                if not raw:
                     feats.append([0.0] * N_FEATURES)
                     types.append("empty")
                     continue
-                hist = np.histogram(raw, bins=N_FEATURES - 2, range=(0, 255))[0]
-                hist = hist / raw.size
-                feats.append([*hist.tolist(), float(raw.mean()), float(raw.std())])
+                try:
+                    if raw[:2] in (b"II", b"MM"):
+                        px = CogReader(raw).to_numpy().astype(np.float64)
+                        feats.append(vec(px))
+                        types.append("image/tiff;decoded")
+                        continue
+                    if raw[:2] == b"\xff\xd8":
+                        px = decode_jpeg(raw).astype(np.float64)
+                        feats.append(vec(px))
+                        types.append("image/jpeg;decoded")
+                        continue
+                except Exception:
+                    pass  # corrupt image: fall through to the byte path
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                feats.append(vec(arr))
                 types.append("raw-bytes")
             yield pd.DataFrame(
                 {
@@ -147,16 +168,19 @@ def resize_media(
 ) -> DataFrame:
     """Resize media blobs to (target_w, target_h) via mapInPandas.
 
-    TIFF blobs are REALLY resized (in-repo decoder → nearest-neighbor
-    pixel-center resample → in-repo writer; band count and dtype preserved).
-    Formats whose codecs are absent in-sandbox (jpeg/png/...) produce an
-    honest ``status='unsupported'`` row — the task-brief stub contract: the
+    TIFF and baseline-JPEG blobs are REALLY resized (in-repo decoders →
+    nearest-neighbor pixel-center resample → in-repo TIFF writer; the
+    resized payload is always TIFF — the repo has no JPEG encoder, and the
+    format conversion is documented rather than faked). Formats whose
+    codecs are absent in-sandbox (png/webp/...) produce an honest
+    ``status='unsupported'`` row — the task-brief stub contract: the
     Spark plumbing (batching, schema, error channel) is real, the foreign
     decode is not faked.
     """
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cog3pio_spark.jpeg import decode_jpeg
         from cog3pio_spark.tiff.reader import CogReader
         from cog3pio_spark.tiff.writer import write_tiff
 
@@ -165,17 +189,21 @@ def resize_media(
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob or b"")
                 out["media_id"].append(mid)
-                if raw[:2] not in (b"II", b"MM"):
+                if raw[:2] not in (b"II", b"MM", b"\xff\xd8"):
                     out["status"].append("unsupported")
                     out["error_msg"].append(
-                        "resize: only TIFF decodable in-sandbox (no PIL/ffmpeg)"
+                        "resize: only TIFF/baseline-JPEG decodable in-sandbox"
+                        " (no PIL/ffmpeg)"
                     )
                     out["width"].append(None)
                     out["height"].append(None)
                     out["resized"].append(None)
                     continue
                 try:
-                    arr = CogReader(raw).to_numpy()  # (bands, h, w)
+                    if raw[:2] == b"\xff\xd8":
+                        arr = decode_jpeg(raw)  # (bands, h, w) uint8
+                    else:
+                        arr = CogReader(raw).to_numpy()  # (bands, h, w)
                     _, h, w = arr.shape
                     # nearest-neighbor at pixel centers (matches the affine
                     # pixel-center contract used everywhere else)

@@ -1,0 +1,123 @@
+"""Baseline JPEG decoder: interop-pinned against Java ImageIO (the same
+second-implementation strategy as the TIFF LZW/PackBits codecs).
+
+Tolerance contract (stated in cog3pio_spark/jpeg.py): reference decoders use
+fixed-point IDCTs and triangle chroma upsampling with specific integer
+rounding; this decoder uses exact float math, so per-pixel agreement is
+±2 on gray / smooth color and only degrades at extreme chroma wrap edges
+(p99 still ≤ 3). Identical DCT coefficients are decoded — only rounding and
+filter phase differ."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cog3pio_spark.jpeg import JpegDecodeError, decode_jpeg
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _imageio_decode(spark, data: bytes) -> np.ndarray:
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    h, w = img.getHeight(), img.getWidth()
+    rast = img.getRaster()
+    nb = rast.getNumBands()
+    out = np.zeros((nb, h, w), dtype=np.int32)
+    for b in range(nb):
+        for y in range(h):
+            out[b, y] = [rast.getSample(x, y, b) for x in range(w)]
+    return out.astype(np.uint8)
+
+
+def _imageio_encode_rgb(spark, arr: np.ndarray) -> bytes:
+    jvm = spark._jvm
+    _, h, w = arr.shape
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                (int(arr[0, y, x]) << 16) | (int(arr[1, y, x]) << 8) | int(arr[2, y, x]),
+            )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    return bytes(baos.toByteArray())
+
+
+def test_gray_fixture_matches_imageio(spark):
+    """Committed ImageIO-written gray JPEG (pixel formula (x*7+y*13)%251,
+    70x40 — same as the TIFF interop fixtures): our decode agrees with
+    ImageIO's own decode within ±2 everywhere."""
+    raw = open(os.path.join(DATA, "java_gray.jpg"), "rb").read()
+    ours = decode_jpeg(raw)
+    ref = _imageio_decode(spark, raw)
+    assert ours.shape == ref.shape == (1, 40, 70)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.max() <= 2, d.max()
+
+
+def test_rgb420_fixture_matches_imageio(spark):
+    """Committed 4:2:0 color JPEG (smooth gradients): ±3 max, mean < 1."""
+    raw = open(os.path.join(DATA, "java_rgb420.jpg"), "rb").read()
+    ours = decode_jpeg(raw)
+    ref = _imageio_decode(spark, raw)
+    assert ours.shape == ref.shape == (3, 28, 40)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.max() <= 3 and d.mean() < 1.0, (d.max(), d.mean())
+
+
+def test_sharp_chroma_roundtrip_tolerance(spark):
+    """Freshly encoded wrap-edge gradients (worst case for upsampling filter
+    phase): p99 ≤ 3, bounded max — the documented tolerance contract."""
+    yy, xx = np.mgrid[0:28, 0:40]
+    arr = np.stack(
+        [(yy * 4 + 30) % 256, (xx * 3 + 90) % 256, ((yy + xx) * 2 + 150) % 256]
+    ).astype(np.uint8)
+    data = _imageio_encode_rgb(spark, arr)
+    d = np.abs(decode_jpeg(data).astype(int) - _imageio_decode(spark, data).astype(int))
+    assert np.percentile(d, 99) <= 3 and d.max() <= 16, (d.max(), np.percentile(d, 99))
+
+
+def test_jpeg_error_taxonomy():
+    """Honest failures: not-a-JPEG, progressive (SOF2), truncated entropy."""
+    with pytest.raises(JpegDecodeError, match="missing SOI"):
+        decode_jpeg(b"\x89PNG\r\n" + b"x" * 32)
+    raw = bytearray(open(os.path.join(DATA, "java_gray.jpg"), "rb").read())
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(JpegDecodeError, match="progressive JPEG is unsupported"):
+        decode_jpeg(bytes(raw))
+    good = open(os.path.join(DATA, "java_gray.jpg"), "rb").read()
+    with pytest.raises(JpegDecodeError, match="truncated"):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_through_spark_operators(spark):
+    """The decoder powers the Spark operators: extract_features computes
+    PIXEL statistics for JPEG blobs (tagged ;decoded) and resize_media
+    really resizes a JPEG (output re-encoded as TIFF — the documented
+    format conversion), with pixels matching the direct-decode resample."""
+    from cog3pio_spark.operators.multimodal import extract_features, resize_media
+    from cog3pio_spark.tiff.reader import CogReader
+
+    raw = open(os.path.join(DATA, "java_gray.jpg"), "rb").read()
+    df = spark.createDataFrame([("j1", raw)], ["media_id", "blob"])
+
+    feat = extract_features(df).collect()[0]
+    assert feat["media_type"] == "image/jpeg;decoded"
+    px = decode_jpeg(raw).astype(np.float64)
+    assert abs(feat["features"][14] - px.mean()) < 1e-9  # pixel mean, not bytes
+
+    res = resize_media(df, 35, 20).collect()[0]
+    assert res["status"] == "ok" and (res["width"], res["height"]) == (35, 20)
+    back = CogReader(bytes(res["resized"])).to_numpy()
+    arr = decode_jpeg(raw)
+    yi = ((np.arange(20) + 0.5) * 40 / 20).astype(int)
+    xi = ((np.arange(35) + 0.5) * 70 / 35).astype(int)
+    np.testing.assert_array_equal(back, arr[:, yi][:, :, xi])
