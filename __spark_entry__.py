@@ -774,6 +774,27 @@ def q56_jpeg_decode(spark, sf):
     ).orderBy("media_id")
 
 
+def q57_png_decode(spark, sf):
+    """PNG decode (r3: fourth real in-repo codec — zlib + all five scanline
+    filters + palette/16-bit, pure numpy; EXACT interop vs Java ImageIO
+    since PNG is lossless, tests/test_png.py) over committed fixtures via
+    the extract_features pixel path. Rows-only (binary payloads)."""
+    from cog3pio_spark.operators.multimodal import extract_features
+
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    rows = [
+        (name, open(os.path.join(data_dir, name), "rb").read())
+        for name in ("java_gray.png", "java_rgba.png")
+    ]
+    rows.append(("broken.png", b"\x89PNG\r\n\x1a\ngarbage"))
+    blobs = spark.createDataFrame(rows, ["media_id", "blob"])
+    return extract_features(blobs).select(
+        "media_id", "media_type",
+        F.round(F.element_at("features", 15), 6).alias("px_mean"),
+        F.round(F.element_at("features", 16), 6).alias("px_std"),
+    ).orderBy("media_id")
+
+
 def q52_ivfpq_topk(spark, sf):
     """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
     pruning × quantized ADC scores; recall + partition-pruning plan pinned in
@@ -1027,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_audio_features": q54_audio_features,
         "q55_video_meta": q55_video_meta,
         "q56_jpeg_decode": q56_jpeg_decode,
+        "q57_png_decode": q57_png_decode,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven

@@ -74,6 +74,7 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from cog3pio_spark.jpeg import decode_jpeg
+        from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
 
         def vec(values: np.ndarray) -> list[float]:
@@ -99,6 +100,11 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                         px = decode_jpeg(raw).astype(np.float64)
                         feats.append(vec(px))
                         types.append("image/jpeg;decoded")
+                        continue
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        px = decode_png(raw).astype(np.float64)
+                        feats.append(vec(px))
+                        types.append("image/png;decoded")
                         continue
                 except Exception:
                     pass  # corrupt image: fall through to the byte path
@@ -181,6 +187,7 @@ def resize_media(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from cog3pio_spark.jpeg import decode_jpeg
+        from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
         from cog3pio_spark.tiff.writer import write_tiff
 
@@ -189,18 +196,21 @@ def resize_media(
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob or b"")
                 out["media_id"].append(mid)
-                if raw[:2] not in (b"II", b"MM", b"\xff\xd8"):
+                is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
+                if raw[:2] not in (b"II", b"MM", b"\xff\xd8") and not is_png:
                     out["status"].append("unsupported")
                     out["error_msg"].append(
-                        "resize: only TIFF/baseline-JPEG decodable in-sandbox"
-                        " (no PIL/ffmpeg)"
+                        "resize: only TIFF/baseline-JPEG/PNG decodable"
+                        " in-sandbox (no PIL/ffmpeg)"
                     )
                     out["width"].append(None)
                     out["height"].append(None)
                     out["resized"].append(None)
                     continue
                 try:
-                    if raw[:2] == b"\xff\xd8":
+                    if is_png:
+                        arr = decode_png(raw)  # (bands, h, w)
+                    elif raw[:2] == b"\xff\xd8":
                         arr = decode_jpeg(raw)  # (bands, h, w) uint8
                     else:
                         arr = CogReader(raw).to_numpy()  # (bands, h, w)

@@ -1,0 +1,110 @@
+"""PNG decoder: EXACT interop against Java ImageIO (PNG is lossless, so
+unlike the JPEG ±2 tolerance the contract here is bit-perfect equality).
+Fixtures are committed ImageIO-written files; round-trip tests re-encode
+through the JVM at test time for palette/16-bit variants."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cog3pio_spark.png import PngDecodeError, decode_png
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _s32(v: int) -> int:
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _encode_png(spark, bi) -> bytes:
+    jvm = spark._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    return bytes(baos.toByteArray())
+
+
+def test_gray_fixture_exact():
+    """Committed gray PNG (pixel formula (x*11+y*5)%256, 47x33) decodes
+    bit-perfectly — no JVM needed, the formula IS the oracle."""
+    raw = open(os.path.join(DATA, "java_gray.png"), "rb").read()
+    got = decode_png(raw)
+    exp = np.fromfunction(lambda y, x: (x * 11 + y * 5) % 256, (33, 47)).astype(np.uint8)
+    assert got.shape == (1, 33, 47)
+    np.testing.assert_array_equal(got[0], exp)
+
+
+def test_rgba_fixture_exact():
+    """Committed random RGBA PNG (hard case for Sub/Paeth filters): decode
+    equals the committed expected array byte-for-byte."""
+    raw = open(os.path.join(DATA, "java_rgba.png"), "rb").read()
+    exp = np.load(os.path.join(DATA, "java_rgba_expected.npy"))
+    np.testing.assert_array_equal(decode_png(raw), exp)
+
+
+def test_palette_and_16bit_roundtrip_exact(spark):
+    """Palette (TYPE_BYTE_INDEXED) and 16-bit gray PNGs round-trip through
+    ImageIO encode → our decode with exact pixels."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    bi = BI(16, 8, BI.TYPE_BYTE_INDEXED)
+    for y in range(8):
+        for x in range(16):
+            bi.setRGB(x, y, _s32(((x * 16) % 256 << 16) | ((y * 32) % 256 << 8) | 128))
+    ref = np.zeros((3, 8, 16), dtype=np.uint8)
+    for y in range(8):
+        for x in range(16):
+            v = bi.getRGB(x, y)
+            ref[:, y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+    np.testing.assert_array_equal(decode_png(_encode_png(spark, bi)), ref)
+
+    rng = np.random.RandomState(23)
+    g16 = rng.randint(0, 65536, (9, 14)).astype(np.uint16)
+    bi = BI(14, 9, BI.TYPE_USHORT_GRAY)
+    r = bi.getRaster()
+    for y in range(9):
+        for x in range(14):
+            r.setSample(x, y, 0, int(g16[y, x]))
+    got = decode_png(_encode_png(spark, bi))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got[0], g16)
+
+
+def test_png_error_taxonomy():
+    """Honest failures: bad signature, interlaced, corrupt IDAT."""
+    with pytest.raises(PngDecodeError, match="bad signature"):
+        decode_png(b"\xff\xd8" + b"x" * 32)
+    raw = bytearray(open(os.path.join(DATA, "java_gray.png"), "rb").read())
+    raw[8 + 8 + 12] = 1  # IHDR interlace byte (CRC not validated by design)
+    with pytest.raises(PngDecodeError, match="Adam7 interlaced"):
+        decode_png(bytes(raw))
+    raw2 = bytearray(open(os.path.join(DATA, "java_gray.png"), "rb").read())
+    idat = bytes(raw2).find(b"IDAT")
+    raw2[idat + 8 : idat + 16] = b"\x00" * 8  # corrupt the zlib stream
+    with pytest.raises(PngDecodeError, match="corrupt IDAT|filtered bytes"):
+        decode_png(bytes(raw2))
+
+
+def test_png_through_spark_operators(spark):
+    """extract_features computes PIXEL statistics for PNG blobs and
+    resize_media really resizes a PNG (re-encoded as TIFF)."""
+    from cog3pio_spark.operators.multimodal import extract_features, resize_media
+    from cog3pio_spark.tiff.reader import CogReader
+
+    raw = open(os.path.join(DATA, "java_gray.png"), "rb").read()
+    df = spark.createDataFrame([("p1", raw)], ["media_id", "blob"])
+    feat = extract_features(df).collect()[0]
+    assert feat["media_type"] == "image/png;decoded"
+    px = decode_png(raw).astype(np.float64)
+    assert abs(feat["features"][14] - px.mean()) < 1e-9
+
+    res = resize_media(df, 24, 16).collect()[0]
+    assert res["status"] == "ok"
+    back = CogReader(bytes(res["resized"])).to_numpy()
+    arr = decode_png(raw)
+    yi = ((np.arange(16) + 0.5) * 33 / 16).astype(int)
+    xi = ((np.arange(24) + 0.5) * 47 / 24).astype(int)
+    np.testing.assert_array_equal(back, arr[:, yi][:, :, xi])
