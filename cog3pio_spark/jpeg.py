@@ -9,10 +9,12 @@ arithmetic-coded, and hierarchical streams raise an honest
 Correctness is pinned the same way as the TIFF codecs: a second independent
 implementation (Java ImageIO via the Spark JVM) encodes fixtures and
 provides reference decodes; tests compare per-pixel within a small IDCT
-rounding tolerance (libjpeg-family decoders use fixed-point IDCTs and
-"fancy" chroma upsampling; this decoder uses exact float IDCT and nearest
-upsampling — gray images agree within ±2, smooth color within a small mean
-error; the tolerance contract is explicit in tests/test_jpeg.py).
+rounding tolerance (libjpeg-family decoders use fixed-point IDCTs with
+specific integer rounding; this decoder uses exact float IDCT and a float
+triangle-filter chroma upsampler matching libjpeg's "fancy" upsampling —
+gray images agree within ±2, smooth color within ±3, and only extreme
+chroma wrap edges drift further; the contract is explicit in
+tests/test_jpeg.py).
 
 Performance note (honest): Huffman entropy decoding is inherently
 bit-serial, implemented here as a per-bit Python loop — a
@@ -125,6 +127,8 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             raise JpegDecodeError("Cannot parse JPEG: marker expected")
         while pos < len(raw) and raw[pos] == 0xFF:
             pos += 1  # fill bytes
+        if pos >= len(raw):
+            raise JpegDecodeError("Cannot parse JPEG: truncated in marker padding")
         marker = raw[pos]
         pos += 1
         if marker == 0xD9:  # EOI
@@ -215,6 +219,12 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             raise JpegDecodeError("Cannot parse JPEG: scan component mismatch")
         by_id[sc["id"]]["dc_t"] = sc["dc"]
         by_id[sc["id"]]["ac_t"] = sc["ac"]
+    if len(scan["comps"]) < len(comps):
+        # spec-legal but rare: one SOS per component; the interleaved-MCU
+        # loop below cannot decode it — refuse honestly (r3 review)
+        raise JpegDecodeError(
+            "unsupported error: non-interleaved JPEG scan is unsupported"
+        )
 
     h, w = frame["h"], frame["w"]
     max_h = max(c["h"] for c in comps)
@@ -233,7 +243,13 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader = _BitReader(next(seg_iter))  # RST: new segment,
+                try:
+                    reader = _BitReader(next(seg_iter))  # RST: new segment,
+                except StopIteration:
+                    raise JpegDecodeError(
+                        "Cannot decode JPEG: entropy data truncated "
+                        "(missing restart segment)"
+                    ) from None
                 pred = {c["id"]: 0 for c in comps}  # predictors reset
             for c in comps:
                 dc_t = htables.get((0, c["dc_t"]))

@@ -1,19 +1,22 @@
 """Multimodal binary-column operators (task brief: first-class).
 
-Images/audio/video are opaque ``binary`` columns + typed metadata. Two media
-families decode FOR REAL with in-repo pure-numpy/stdlib codecs — TIFF
-(operators/decode.py + resize_media here) and WAV audio (audio_meta /
-audio_features, RIFF parse + PCM features, r3). Formats whose codecs are
-absent in-sandbox (jpeg/png/mp4...) keep honest deterministic stand-ins:
-the Spark plumbing — schema, Arrow batch shape, error channel, row-explosion
+Images/audio/video are opaque ``binary`` columns + typed metadata. FOUR
+media families decode FOR REAL with in-repo pure-numpy/stdlib codecs —
+TIFF (operators/decode.py + tiff/), baseline JPEG (cog3pio_spark/jpeg.py),
+PNG (cog3pio_spark/png.py) and WAV audio (here) — plus REAL MP4 container
+metadata. Formats whose codecs are genuinely absent in-sandbox (webp, gif,
+video FRAME decode...) keep honest deterministic stand-ins: the Spark
+plumbing — schema, Arrow batch shape, error channel, row-explosion
 contracts — is real and tested; foreign decodes are never faked.
 
 * ``attach_media_meta``  — parse magic bytes → (media_type, byte_len) columns.
-* ``extract_features``   — mapInPandas fixed-size feature vector per blob
-  (byte-histogram statistics; a pixel decoder slots into the same shape).
+* ``extract_features``   — mapInPandas fixed-size feature vector per blob:
+  PIXEL statistics for TIFF/JPEG/PNG (tagged ';decoded'), byte-histogram
+  stand-in otherwise.
 * ``frame_sample``       — deterministic byte-range sampler standing in for
   video frame extraction (same batch/row-count contract: one row per frame).
-* ``resize_media``       — REAL for TIFF (decode → resample → re-encode).
+* ``resize_media``       — REAL for TIFF/JPEG/PNG (decode → resample →
+  re-encode as TIFF).
 * ``audio_meta`` / ``audio_features`` — REAL for WAV (r3): typed stream
   metadata + per-window RMS/peak/zero-crossing features over decoded PCM.
 * ``video_meta``         — REAL MP4/ISO-BMFF container parse (r3): brand,
@@ -64,11 +67,12 @@ FEATURE_SCHEMA = T.StructType(
 def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """Per-blob fixed-size feature vector via mapInPandas (Arrow batches).
 
-    TIFF and baseline-JPEG blobs decode FOR REAL (in-repo codecs, r3) and
-    the 16-vector is computed over PIXELS (14-bin value histogram + mean +
-    std; media_type tagged ';decoded'). Other formats keep the byte-level
-    stand-in — same vector shape, honest about what was computed: batch
-    iteration, schema, and partitioning are identical either way.
+    TIFF, baseline-JPEG and PNG blobs decode FOR REAL (in-repo codecs, r3)
+    and the 16-vector is computed over PIXELS (14-bin dtype-range value
+    histogram + mean + std; media_type tagged ';decoded'). Other formats
+    keep the byte-level stand-in — same vector shape, honest about what was
+    computed: batch iteration, schema, and partitioning are identical
+    either way.
     """
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
@@ -77,8 +81,18 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
         from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
 
-        def vec(values: np.ndarray) -> list[float]:
-            hist = np.histogram(values, bins=N_FEATURES - 2, range=(0, 255))[0]
+        def vec(values: np.ndarray, vmax: float | None = 255.0) -> list[float]:
+            # dtype-aware histogram range (r3 review: a fixed (0,255) range
+            # silently drops every sample of 16-bit/float imagery, producing
+            # an all-zero histogram tagged ';decoded'); floats bin over
+            # their own min/max
+            if vmax is None:
+                lo, hi = float(values.min()), float(values.max())
+                if hi <= lo:
+                    hi = lo + 1.0
+            else:
+                lo, hi = 0.0, float(vmax)
+            hist = np.histogram(values, bins=N_FEATURES - 2, range=(lo, hi))[0]
             hist = hist / values.size
             return [*hist.tolist(), float(values.mean()), float(values.std())]
 
@@ -90,20 +104,23 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                     feats.append([0.0] * N_FEATURES)
                     types.append("empty")
                     continue
+                def _vmax(a: np.ndarray) -> float | None:
+                    return float(np.iinfo(a.dtype).max) if a.dtype.kind in "ui" else None
+
                 try:
                     if raw[:2] in (b"II", b"MM"):
-                        px = CogReader(raw).to_numpy().astype(np.float64)
-                        feats.append(vec(px))
+                        px = CogReader(raw).to_numpy()
+                        feats.append(vec(px.astype(np.float64), _vmax(px)))
                         types.append("image/tiff;decoded")
                         continue
                     if raw[:2] == b"\xff\xd8":
-                        px = decode_jpeg(raw).astype(np.float64)
-                        feats.append(vec(px))
+                        px = decode_jpeg(raw)  # always uint8
+                        feats.append(vec(px.astype(np.float64), 255.0))
                         types.append("image/jpeg;decoded")
                         continue
                     if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                        px = decode_png(raw).astype(np.float64)
-                        feats.append(vec(px))
+                        px = decode_png(raw)  # uint8 or uint16
+                        feats.append(vec(px.astype(np.float64), _vmax(px)))
                         types.append("image/png;decoded")
                         continue
                 except Exception:
@@ -174,11 +191,11 @@ def resize_media(
 ) -> DataFrame:
     """Resize media blobs to (target_w, target_h) via mapInPandas.
 
-    TIFF and baseline-JPEG blobs are REALLY resized (in-repo decoders →
-    nearest-neighbor pixel-center resample → in-repo TIFF writer; the
-    resized payload is always TIFF — the repo has no JPEG encoder, and the
-    format conversion is documented rather than faked). Formats whose
-    codecs are absent in-sandbox (png/webp/...) produce an honest
+    TIFF, baseline-JPEG and PNG blobs are REALLY resized (in-repo decoders
+    → nearest-neighbor pixel-center resample → in-repo TIFF writer; the
+    resized payload is always TIFF — the repo has no JPEG/PNG encoder, and
+    the format conversion is documented rather than faked). Formats whose
+    codecs are absent in-sandbox (webp/gif/...) produce an honest
     ``status='unsupported'`` row — the task-brief stub contract: the
     Spark plumbing (batching, schema, error channel) is real, the foreign
     decode is not faked.
@@ -297,8 +314,14 @@ def _parse_wav(raw: bytes):
         mat = (mat - 128.0) / 128.0  # 8-bit PCM is unsigned
     elif audio_format == 1:
         mat = mat / float(2 ** (bits - 1))
+    if audio_format == 3:
+        codec = f"pcm_f{bits}le"
+    elif bits == 8:
+        codec = "pcm_u8"  # 8-bit PCM is unsigned per the WAV spec
+    else:
+        codec = f"pcm_s{bits}le"
     meta = {
-        "codec": "pcm_s%de" % bits if audio_format == 1 else "pcm_f%dle" % bits,
+        "codec": codec,
         "channels": int(channels),
         "sample_rate": int(sample_rate),
         "bit_depth": int(bits),

@@ -137,6 +137,11 @@ def decode_png(raw: bytes) -> np.ndarray:
             idx = np.zeros((h, w), dtype=np.uint8)
             for k in range(depth):
                 idx = (idx << 1) | bits[:, k::depth][:, :w]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngDecodeError(
+                f"Cannot decode PNG: palette index {int(idx.max())} out of "
+                f"range for {len(palette)}-entry PLTE"
+            )
         rgb = palette[idx]  # (h, w, 3)
         return np.moveaxis(rgb, -1, 0).copy()
 

@@ -121,3 +121,10 @@ def test_jpeg_through_spark_operators(spark):
     yi = ((np.arange(20) + 0.5) * 40 / 20).astype(int)
     xi = ((np.arange(35) + 0.5) * 70 / 35).astype(int)
     np.testing.assert_array_equal(back, arr[:, yi][:, :, xi])
+
+
+def test_jpeg_truncated_in_padding_and_marker_bounds():
+    """r3 review guards: streams ending inside 0xFF fill bytes raise the
+    honest taxonomy error, never IndexError."""
+    with pytest.raises(JpegDecodeError, match="truncated in marker padding"):
+        decode_jpeg(b"\xff\xd8\xff\xff")

@@ -108,3 +108,21 @@ def test_png_through_spark_operators(spark):
     yi = ((np.arange(16) + 0.5) * 33 / 16).astype(int)
     xi = ((np.arange(24) + 0.5) * 47 / 24).astype(int)
     np.testing.assert_array_equal(back, arr[:, yi][:, :, xi])
+
+
+def test_png_palette_index_out_of_range():
+    """r3 review guard: a palette index past the PLTE entry count raises
+    PngDecodeError, never a raw numpy IndexError."""
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + b"\x00\x00\x00\x00"
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # 1x1, 8-bit palette
+    plte = b"\x10\x20\x30"  # ONE entry
+    idat = _z.compress(b"\x00\xc8")  # filter 0 + index 200
+    raw = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(PngDecodeError, match="palette index 200 out of range"):
+        decode_png(raw)

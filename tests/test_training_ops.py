@@ -625,7 +625,7 @@ def test_audio_wav_real_decode(spark):
 
     meta = {r["media_id"]: r for r in audio_meta(df).collect()}
     ok = meta["sine"]
-    assert ok["status"] == "ok" and ok["codec"] == "pcm_s16e"
+    assert ok["status"] == "ok" and ok["codec"] == "pcm_s16le"
     assert (ok["channels"], ok["sample_rate"], ok["bit_depth"]) == (1, sr, 16)
     assert ok["n_samples"] == sr * secs and abs(ok["duration_s"] - secs) < 1e-9
     bad = meta["junk"]
