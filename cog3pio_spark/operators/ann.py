@@ -440,15 +440,19 @@ def train_ivf_centroids(
     seed: int = 77,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Deterministic mini-KMeans on a fixed-size sample (driver-side numpy).
 
     Centroid training is O(sample × dim × iters) — independent of table
     size; the expensive part (assignment) stays distributed. Seeded init +
     fixed iteration count + id-ordered sample ⇒ bit-reproducible across runs
-    and physical layouts (resume/goldens).
+    and physical layouts (resume/goldens). ``sample_rows``: pre-collected
+    sample (one collection shared across trainers, e.g. ivfpq_topk).
     """
-    rows = _deterministic_sample(vectors, vec_col, id_col, sample)
+    rows = sample_rows if sample_rows is not None else _deterministic_sample(
+        vectors, vec_col, id_col, sample
+    )
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -708,6 +712,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: split the (normalized) vector into
     ``m`` contiguous subspaces of dim/m and k-means each on a fixed
@@ -722,7 +727,9 @@ def train_pq_codebooks(
     the same centroids (pq_encode/ivfpq_topk keep the contract)."""
     assert dim % m == 0, "dim must be divisible by m"
     sub = dim // m
-    rows = _deterministic_sample(vectors, vec_col, id_col, sample)
+    rows = sample_rows if sample_rows is not None else _deterministic_sample(
+        vectors, vec_col, id_col, sample
+    )
     mat = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     if centroids is not None:
         mat = mat - centroids[(mat @ centroids.T).argmax(axis=1)]
@@ -837,14 +844,21 @@ def ivfpq_topk(
     """
     from typing import Iterator as _It
 
+    shared_sample = None
+    if centroids is None or books is None:
+        # ONE sample collection feeds both trainers (they used to run the
+        # identical TakeOrderedAndProject job twice)
+        shared_sample = _deterministic_sample(vectors, vec_col, id_col, 4096)
     if centroids is None:
         centroids = train_ivf_centroids(
-            vectors, dim, n_centroids, vec_col=vec_col, id_col=id_col
+            vectors, dim, n_centroids, vec_col=vec_col, id_col=id_col,
+            sample_rows=shared_sample,
         )
     if books is None:
         books = train_pq_codebooks(
             vectors, dim, m=m, vec_col=vec_col, id_col=id_col,
             centroids=centroids if residual else None,
+            sample_rows=shared_sample,
         )
     if encoded is None:
         encoded = ivfpq_encode(
