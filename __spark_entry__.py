@@ -795,6 +795,25 @@ def q57_png_decode(spark, sf):
     ).orderBy("media_id")
 
 
+def q58_gif_decode(spark, sf):
+    """GIF decode (r3: fifth real in-repo codec — the GIF LZW variant
+    [LSB-first, clear/EOI, no early change] independent of the TIFF LZW;
+    EXACT lossless interop vs Java ImageIO, tests/test_gif.py) over the
+    committed fixture via the extract_features pixel path. Rows-only."""
+    from cog3pio_spark.operators.multimodal import extract_features
+
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    rows = [("java_indexed.gif",
+             open(os.path.join(data_dir, "java_indexed.gif"), "rb").read()),
+            ("broken.gif", b"GIF89agarbage")]
+    blobs = spark.createDataFrame(rows, ["media_id", "blob"])
+    return extract_features(blobs).select(
+        "media_id", "media_type",
+        F.round(F.element_at("features", 15), 6).alias("px_mean"),
+        F.round(F.element_at("features", 16), 6).alias("px_std"),
+    ).orderBy("media_id")
+
+
 def q52_ivfpq_topk(spark, sf):
     """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
     pruning × quantized ADC scores; recall + partition-pruning plan pinned in
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_video_meta": q55_video_meta,
         "q56_jpeg_decode": q56_jpeg_decode,
         "q57_png_decode": q57_png_decode,
+        "q58_gif_decode": q58_gif_decode,
         # kept last on purpose: CORRECTNESS_r02 recorded 50 of 51 registered
         # queries, silently omitting whichever key came last (q46, judge-
         # verified green out-of-band). Until the driver snapshot is proven

@@ -1,0 +1,144 @@
+"""GIF decoder in pure Python/numpy (fifth real in-repo media codec).
+
+GIF's LZW differs from the TIFF variant the repo already ships (LSB-first
+bit packing, per-image variable initial code size, clear/EOI codes, width
+growth WITHOUT TIFF's early change) — an independent implementation, not a
+reuse, validated the same way: GIF is lossless for ≤256-color frames, so
+the interop contract against Java ImageIO is EXACT per-pixel equality
+(tests/test_gif.py).
+
+Supported: GIF87a/89a, global and local color tables, interlaced images
+(pass reordering), extensions skipped; the FIRST frame of animated GIFs is
+decoded (documented — same single-image contract as the JPEG/PNG paths).
+Performance note: the LZW loop is per-code Python — correctness-first
+reference decoder (same contract note as jpeg.py/png.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class GifDecodeError(ValueError):
+    """Parse/decode failure with an honest message."""
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first packing, clear/EOI, 12-bit max codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > len(bits):
+            return eoi  # truncated stream: stop (caller length-checks)
+        chunk = bits[pos : pos + width]
+        pos += width
+        v = 0
+        for i in range(width - 1, -1, -1):
+            v = (v << 1) | int(chunk[i])
+        return v
+
+    while len(out) < n_pixels:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise GifDecodeError("Cannot decode GIF: bad initial LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise GifDecodeError("Cannot decode GIF: LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise GifDecodeError(
+            f"Cannot decode GIF: expected {n_pixels} pixels, got {len(out)}"
+        )
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    """GIF 4-pass interlace: rows 0::8, 4::8, 2::4, 1::2."""
+    h = idx.shape[0]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF to a (3, h, w) uint8 RGB tensor."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifDecodeError("Cannot parse GIF: bad signature")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    while pos < len(raw):
+        block = raw[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1  # terminator
+        elif block == 0x2C:  # image descriptor — decode this (first) frame
+            _ix, _iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", raw, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise GifDecodeError("Cannot parse GIF: no color table")
+            min_code_size = raw[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(raw) and raw[pos] != 0:
+                ln = raw[pos]
+                data.extend(raw[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode_gif(bytes(data), min_code_size, iw * ih).reshape(ih, iw)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            if int(idx.max(initial=0)) >= len(ct):
+                raise GifDecodeError(
+                    f"Cannot decode GIF: color index {int(idx.max())} out of "
+                    f"range for {len(ct)}-entry table"
+                )
+            rgb = ct[idx]  # (h, w, 3)
+            return np.moveaxis(rgb, -1, 0).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise GifDecodeError(f"Cannot parse GIF: unknown block 0x{block:02x}")
+    raise GifDecodeError("Cannot parse GIF: no image data")

@@ -1,21 +1,21 @@
 """Multimodal binary-column operators (task brief: first-class).
 
-Images/audio/video are opaque ``binary`` columns + typed metadata. FOUR
+Images/audio/video are opaque ``binary`` columns + typed metadata. FIVE
 media families decode FOR REAL with in-repo pure-numpy/stdlib codecs —
 TIFF (operators/decode.py + tiff/), baseline JPEG (cog3pio_spark/jpeg.py),
-PNG (cog3pio_spark/png.py) and WAV audio (here) — plus REAL MP4 container
-metadata. Formats whose codecs are genuinely absent in-sandbox (webp, gif,
+PNG (cog3pio_spark/png.py), GIF (cog3pio_spark/gif.py) and WAV audio (here) — plus REAL MP4 container
+metadata. Formats whose codecs are genuinely absent in-sandbox (webp,
 video FRAME decode...) keep honest deterministic stand-ins: the Spark
 plumbing — schema, Arrow batch shape, error channel, row-explosion
 contracts — is real and tested; foreign decodes are never faked.
 
 * ``attach_media_meta``  — parse magic bytes → (media_type, byte_len) columns.
 * ``extract_features``   — mapInPandas fixed-size feature vector per blob:
-  PIXEL statistics for TIFF/JPEG/PNG (tagged ';decoded'), byte-histogram
-  stand-in otherwise.
+  PIXEL statistics for TIFF/JPEG/PNG/GIF (tagged ';decoded'),
+  byte-histogram stand-in otherwise.
 * ``frame_sample``       — deterministic byte-range sampler standing in for
   video frame extraction (same batch/row-count contract: one row per frame).
-* ``resize_media``       — REAL for TIFF/JPEG/PNG (decode → resample →
+* ``resize_media``       — REAL for TIFF/JPEG/PNG/GIF (decode → resample →
   re-encode as TIFF).
 * ``audio_meta`` / ``audio_features`` — REAL for WAV (r3): typed stream
   metadata + per-window RMS/peak/zero-crossing features over decoded PCM.
@@ -47,6 +47,7 @@ def attach_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             .when(head.startswith("49492A00"), "image/tiff")
             .when(head.startswith("4D4D002A"), "image/tiff")
             .when(head.startswith("52494646"), "audio/wav")
+            .when(head.startswith("47494638"), "image/gif")
             # ISO-BMFF: bytes 5-8 are 'ftyp' (bytes 1-4 are the box size)
             .when(F.hex(F.substring(b, 5, 4)) == "66747970", "video/mp4")
             .otherwise("application/octet-stream"),
@@ -67,8 +68,8 @@ FEATURE_SCHEMA = T.StructType(
 def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """Per-blob fixed-size feature vector via mapInPandas (Arrow batches).
 
-    TIFF, baseline-JPEG and PNG blobs decode FOR REAL (in-repo codecs, r3)
-    and the 16-vector is computed over PIXELS (14-bin dtype-range value
+    TIFF, baseline-JPEG, PNG and GIF blobs decode FOR REAL (in-repo codecs,
+    r3) and the 16-vector is computed over PIXELS (14-bin dtype-range value
     histogram + mean + std; media_type tagged ';decoded'). Other formats
     keep the byte-level stand-in — same vector shape, honest about what was
     computed: batch iteration, schema, and partitioning are identical
@@ -77,6 +78,7 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cog3pio_spark.gif import decode_gif
         from cog3pio_spark.jpeg import decode_jpeg
         from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
@@ -122,6 +124,11 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                         px = decode_png(raw)  # uint8 or uint16
                         feats.append(vec(px.astype(np.float64), _vmax(px)))
                         types.append("image/png;decoded")
+                        continue
+                    if raw[:4] == b"GIF8":
+                        px = decode_gif(raw)  # uint8 RGB
+                        feats.append(vec(px.astype(np.float64), 255.0))
+                        types.append("image/gif;decoded")
                         continue
                 except Exception:
                     pass  # corrupt image: fall through to the byte path
@@ -191,11 +198,11 @@ def resize_media(
 ) -> DataFrame:
     """Resize media blobs to (target_w, target_h) via mapInPandas.
 
-    TIFF, baseline-JPEG and PNG blobs are REALLY resized (in-repo decoders
+    TIFF, baseline-JPEG, PNG and GIF blobs are REALLY resized (in-repo decoders
     → nearest-neighbor pixel-center resample → in-repo TIFF writer; the
     resized payload is always TIFF — the repo has no JPEG/PNG encoder, and
     the format conversion is documented rather than faked). Formats whose
-    codecs are absent in-sandbox (webp/gif/...) produce an honest
+    codecs are absent in-sandbox (webp/...) produce an honest
     ``status='unsupported'`` row — the task-brief stub contract: the
     Spark plumbing (batching, schema, error channel) is real, the foreign
     decode is not faked.
@@ -203,6 +210,7 @@ def resize_media(
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cog3pio_spark.gif import decode_gif
         from cog3pio_spark.jpeg import decode_jpeg
         from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
@@ -214,7 +222,8 @@ def resize_media(
                 raw = bytes(blob or b"")
                 out["media_id"].append(mid)
                 is_png = raw[:8] == b"\x89PNG\r\n\x1a\n"
-                if raw[:2] not in (b"II", b"MM", b"\xff\xd8") and not is_png:
+                is_gif = raw[:4] == b"GIF8"
+                if raw[:2] not in (b"II", b"MM", b"\xff\xd8") and not (is_png or is_gif):
                     out["status"].append("unsupported")
                     out["error_msg"].append(
                         "resize: only TIFF/baseline-JPEG/PNG decodable"
@@ -225,7 +234,9 @@ def resize_media(
                     out["resized"].append(None)
                     continue
                 try:
-                    if is_png:
+                    if is_gif:
+                        arr = decode_gif(raw)  # (3, h, w) uint8
+                    elif is_png:
                         arr = decode_png(raw)  # (bands, h, w)
                     elif raw[:2] == b"\xff\xd8":
                         arr = decode_jpeg(raw)  # (bands, h, w) uint8
