@@ -91,7 +91,21 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(raw: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF to a (3, h, w) uint8 RGB tensor."""
+    """Decode the first frame of a GIF to a (3, h, w) uint8 RGB tensor.
+
+    Every failure surfaces as :class:`GifDecodeError` — truncated headers,
+    short color tables, and malformed LZW parameters raise struct/numpy
+    errors internally, wrapped here so the documented taxonomy holds for
+    direct callers too (r3 review: struct.error is not even a ValueError)."""
+    try:
+        return _decode_gif(raw)
+    except GifDecodeError:
+        raise
+    except (struct.error, ValueError, IndexError) as exc:
+        raise GifDecodeError(f"Cannot parse GIF: truncated or corrupt ({exc})") from exc
+
+
+def _decode_gif(raw: bytes) -> np.ndarray:
     if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifDecodeError("Cannot parse GIF: bad signature")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)

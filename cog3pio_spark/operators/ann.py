@@ -21,6 +21,11 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+# shared default sample size for all codebook/centroid trainers (hoisted so
+# composed operators like ivfpq_topk can never drift from the trainers)
+TRAIN_SAMPLE = 4096
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     # float64 throughout: float32 embeddings would introduce ~1e-7 noise,
     # which breaks round(cosine, 6) agreement with the double-math oracle.
@@ -435,7 +440,7 @@ def train_ivf_centroids(
     vectors: DataFrame,
     dim: int,
     n_centroids: int = 32,
-    sample: int = 4096,
+    sample: int = TRAIN_SAMPLE,
     iters: int = 8,
     seed: int = 77,
     vec_col: str = "embedding",
@@ -525,7 +530,7 @@ def train_ivf2_centroids(
     dim: int,
     n_coarse: int = 8,
     n_fine: int = 8,
-    sample: int = 4096,
+    sample: int = TRAIN_SAMPLE,
     iters: int = 8,
     seed: int = 177,
     vec_col: str = "embedding",
@@ -706,7 +711,7 @@ def train_pq_codebooks(
     dim: int,
     m: int = 8,
     k: int = 256,
-    sample: int = 4096,
+    sample: int = TRAIN_SAMPLE,
     iters: int = 10,
     seed: int = 277,
     vec_col: str = "embedding",
@@ -847,8 +852,10 @@ def ivfpq_topk(
     shared_sample = None
     if centroids is None or books is None:
         # ONE sample collection feeds both trainers (they used to run the
-        # identical TakeOrderedAndProject job twice)
-        shared_sample = _deterministic_sample(vectors, vec_col, id_col, 4096)
+        # identical TakeOrderedAndProject job twice); size comes from the
+        # trainers' shared default so the composed path can never drift
+        # from direct trainer calls (bit-reproducibility contract)
+        shared_sample = _deterministic_sample(vectors, vec_col, id_col, TRAIN_SAMPLE)
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, dim, n_centroids, vec_col=vec_col, id_col=id_col,

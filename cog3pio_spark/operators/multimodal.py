@@ -226,7 +226,7 @@ def resize_media(
                 if raw[:2] not in (b"II", b"MM", b"\xff\xd8") and not (is_png or is_gif):
                     out["status"].append("unsupported")
                     out["error_msg"].append(
-                        "resize: only TIFF/baseline-JPEG/PNG decodable"
+                        "resize: only TIFF/baseline-JPEG/PNG/GIF decodable"
                         " in-sandbox (no PIL/ffmpeg)"
                     )
                     out["width"].append(None)
