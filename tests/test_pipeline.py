@@ -92,3 +92,14 @@ def test_entry_contract(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_).issubset(set(qs))
     assert len(qs) >= 20
+    # driver snapshot window (VERDICT r3 #1): the driver records only the
+    # FIRST 50 keys of queries() in registration order — the registry must
+    # fit the window, with every oracle-matched query inside it and
+    # rows-only queries at the tail (a future truncation may only ever
+    # cost a weak rows-only check, never an oracle row)
+    keys = list(qs)
+    assert len(keys) <= 50
+    first_oracle_block = [k for k in keys[: len(os_)]]
+    assert set(first_oracle_block) == set(os_), (
+        "all oracle-matched queries must be registered before any rows-only"
+    )
