@@ -96,11 +96,15 @@ def write_checkpointed(
         # type instead of being re-inferred from directory names (a string
         # '0012' would otherwise come back as bigint 12 and collide with '12')
         written = spark.read.schema(df.schema).parquet(data_path(base))
-    except AnalysisException:
+    except AnalysisException as exc:
         # ONLY the path-missing case (first run wrote zero rows → no files).
-        # Any other read failure must propagate: swallowing it would report
-        # a successful write as written_keys=0 and skip the manifest append,
-        # re-executing those keys on every later resume (r3 review finding).
+        # Any other AnalysisException (corrupt footer, conflicting schema on
+        # read-back) must propagate: swallowing it would report a successful
+        # write as written_keys=0 and skip the manifest append, re-executing
+        # those keys on every later resume (ADVICE r3: the former bare catch
+        # covered every AnalysisException, not just this branch).
+        if (exc.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
         return {"written_keys": 0, "skipped_keys": skipped, "rows": 0}
     if done is not None:
         if skipped <= ISIN_PRUNE_MAX_KEYS:

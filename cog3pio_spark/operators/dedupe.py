@@ -130,19 +130,35 @@ def minhash_lsh_dupes(
 
     rows = num_hashes // bands
     # -- 1. exact-text cluster collapse (no UDF; 8-byte shuffle key) -------
+    # Representative selection is an AGGREGATE, not a window (VERDICT r3
+    # "What's wrong" #3): the old Window.partitionBy("_sh") shuffled and
+    # SORTED full (id, text) rows — a full-corpus text shuffle at 100 TB.
+    # groupBy + min/min_by shuffles at most one partially-aggregated text
+    # candidate per key per map task; star pairs come from a separate THIN
+    # (id, _sh) pass that never carries text at all.
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    hashed = docs.select(F.col(id_col), F.col(text_col), F.xxhash64(norm).alias("_sh"))
-    wsh = Window.partitionBy("_sh").orderBy(id_col)
-    ranked = hashed.withColumn("_rn", F.row_number().over(wsh)).withColumn(
-        "_rep", F.first(id_col).over(wsh)
+    reps = (
+        docs.select(F.col(id_col), F.col(text_col), F.xxhash64(norm).alias("_sh"))
+        .groupBy("_sh")
+        .agg(
+            F.min(id_col).alias(id_col),
+            # text of the min-id row (= the old rank-1 window row; doc ids
+            # are unique so the min_by tie case cannot arise)
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
     )
-    star_pairs = ranked.filter(F.col("_rn") > 1).select(
-        F.col("_rep").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(1.0).alias("jaccard_est"),
-        F.lit(False).alias("bucket_overflow"),
+    thin = docs.select(F.col(id_col), F.xxhash64(norm).alias("_sh"))
+    star_pairs = (
+        thin.join(thin.groupBy("_sh").agg(F.min(id_col).alias("_rep")), "_sh")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard_est"),
+            F.lit(False).alias("bucket_overflow"),
+        )
     )
-    sig = ranked.filter(F.col("_rn") == 1).select(
+    sig = reps.select(
         F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle).alias("sig")
     )
 

@@ -25,6 +25,7 @@ contracts — is real and tested; foreign decodes are never faked.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -78,10 +79,22 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
         from cog3pio_spark.gif import decode_gif
         from cog3pio_spark.jpeg import decode_jpeg
         from cog3pio_spark.png import decode_png
         from cog3pio_spark.tiff.reader import CogReader
+
+        # ONLY corrupt-input error types downgrade a blob to the
+        # byte-histogram path (ADVICE r3: a bare `except Exception` let a
+        # codec regression silently re-tag every blob 'raw-bytes' instead of
+        # surfacing). The four codec error classes all subclass ValueError;
+        # struct/zlib/EOF errors are what truncated containers raise before
+        # the codec can classify them. Anything else (TypeError, a numpy
+        # shape bug...) is a programming error and propagates.
+        DECODE_ERRORS = (ValueError, EOFError, _struct.error, _zlib.error)
 
         def vec(values: np.ndarray, vmax: float | None = 255.0) -> list[float]:
             # dtype-aware histogram range (r3 review: a fixed (0,255) range
@@ -130,7 +143,7 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                         feats.append(vec(px.astype(np.float64), 255.0))
                         types.append("image/gif;decoded")
                         continue
-                except Exception:
+                except DECODE_ERRORS:
                     pass  # corrupt image: fall through to the byte path
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 feats.append(vec(arr))
@@ -399,7 +412,10 @@ def audio_features(
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
                     meta, mat = _parse_wav(bytes(blob or b""))
-                except Exception:
+                except (ValueError, EOFError, struct.error):
+                    # corrupt-input classes only (ADVICE r3 pattern): the
+                    # no-rows contract is for undecodable BLOBS; a parser
+                    # programming error must still propagate
                     continue
                 mono = mat.mean(axis=1)
                 win = max(1, meta["sample_rate"] * window_ms // 1000)

@@ -720,3 +720,54 @@ def test_video_mp4_container_metadata(spark):
 
     types = {r["media_id"]: r["media_type"] for r in attach_media_meta(df).collect()}
     assert types["v0"] == "video/mp4" and types["junk"] == "application/octet-stream"
+
+
+def test_pq_query_guard_raises_before_collect(spark):
+    """VERDICT r3 #2: the PQ/IVFPQ LUT paths collect the query set to the
+    driver (serving shape) — an oversized query set must raise loudly
+    BEFORE any collect, via a bounded limit(max+1).count() probe, never
+    OOM the driver."""
+    from cog3pio_spark.operators.ann import ivfpq_topk, pq_topk
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    qdf = df.withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(df, qdf, dim=8, k=3, m=4, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk(df, qdf, dim=8, k=3, m=4, n_centroids=4, nprobe=2, max_queries=10)
+    # at/below the bound both run fine
+    small = qdf.filter(F.col("query_id") < 3)
+    assert pq_topk(df, small, dim=8, k=3, m=4, max_queries=10).count() == 9
+
+
+def test_pq_ivfpq_string_query_ids_and_column_name(spark):
+    """ADVICE r3: pq_topk/ivfpq_topk must preserve the query-id DTYPE
+    (string ids used to crash on np.int64 coercion) and the caller's
+    query_id_col NAME in the output schema, matching lsh_topk/ivf_topk."""
+    from cog3pio_spark.operators.ann import ivfpq_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+    qdf = spark.createDataFrame(
+        [("qa", [float(x) for x in mat[7]]), ("qb", [float(x) for x in mat[9]])],
+        ["qname", "embedding"],
+    )
+    for op, kw in (
+        (pq_topk, {}),
+        (ivfpq_topk, {"n_centroids": 4, "nprobe": 4}),
+    ):
+        got = op(df, qdf, dim=8, k=3, m=4, query_id_col="qname", **kw)
+        assert got.columns[0] == "qname"
+        assert dict(got.dtypes)["qname"] == "string"
+        rows = got.collect()
+        assert {r["qname"] for r in rows} == {"qa", "qb"}
+        # each query's own vector is its cosine-1.0 top hit
+        best = {r["qname"]: r["vec_id"] for r in rows if r["rank"] == 1}
+        assert best == {"qa": 7, "qb": 9}
