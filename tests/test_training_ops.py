@@ -771,3 +771,65 @@ def test_pq_ivfpq_string_query_ids_and_column_name(spark):
         # each query's own vector is its cosine-1.0 top hit
         best = {r["qname"]: r["vec_id"] for r in rows if r["rank"] == 1}
         assert best == {"qa": 7, "qb": 9}
+
+
+def test_simhash_blocked_equals_exact_scan(spark):
+    """VERDICT r3 #5 (the q43 conversion pattern): the blocked pigeonhole
+    path must equal the exact O(n^2) Hamming scan — same simhash UDF, so
+    blocking completeness (combo <= segments - max_hamming) is the only
+    thing under test. Runs at the default auto plan AND a forced multi-index
+    plan, on a corpus with planted near-dup clusters; also over the sf0.01
+    documents table when present (the driver-gate corpus)."""
+    import os
+
+    from cog3pio_spark.operators.dedupe import (
+        simhash_dupes,
+        simhash_hamming_pairs_exact,
+    )
+
+    rng = np.random.RandomState(17)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(250):
+        toks = [words[j] for j in rng.randint(0, 300, size=40)]
+        rows.append((f"s{i:03d}", " ".join(toks)))
+        if i % 7 == 0:  # planted near-dup: one token swapped
+            toks2 = list(toks)
+            toks2[5] = words[int(rng.randint(0, 300))]
+            rows.append((f"s{i:03d}x", " ".join(toks2)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for d, seg in ((6, None), (6, 8), (3, None)):
+        exact = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs_exact(docs, max_hamming=d).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_dupes(docs, max_hamming=d, segments=seg).collect()
+        }
+        assert blocked == exact, f"d={d} segments={seg}"
+        assert exact, "corpus must produce at least one near-dup pair"
+
+    sf_docs_path = "/root/testdata/sf0.01/documents.parquet"
+    if os.path.exists(sf_docs_path):
+        sf_docs = spark.read.parquet(sf_docs_path)
+        exact = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs_exact(sf_docs, max_hamming=6).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_dupes(sf_docs, max_hamming=6).collect()
+        }
+        assert blocked == exact
+
+
+def test_simhash_exact_anchor_guard(spark):
+    from cog3pio_spark.operators.dedupe import simhash_hamming_pairs_exact
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        simhash_hamming_pairs_exact(docs, max_rows=10)
