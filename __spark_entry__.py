@@ -777,17 +777,19 @@ def q56_image_codecs(spark, sf):
     q57 PNG + q58 GIF — 50-query snapshot window): every committed
     Java-ImageIO-written fixture plus one broken blob per codec goes
     through the extract_features pixel path in a single mapInPandas pass —
-    JPEG (pure-numpy markers/Huffman/dequant/IDCT/420-upsampling/YCbCr,
-    interop ±2 vs ImageIO, tests/test_jpeg.py), PNG (zlib + 5 scanline
-    filters + palette/16-bit, EXACT lossless interop, tests/test_png.py),
-    GIF (LSB-first LZW, no early change, EXACT interop, tests/test_gif.py).
-    Rows-only (binary payloads); per-pixel exactness pinned by the interop
-    tests."""
+    JPEG baseline AND progressive (pure-numpy markers/Huffman/dequant/IDCT/
+    420-upsampling/YCbCr; r4 adds SOF2 spectral selection + successive
+    approximation; interop ±2 vs ImageIO, tests/test_jpeg.py), PNG (zlib +
+    5 scanline filters + palette/16-bit, EXACT lossless interop,
+    tests/test_png.py), GIF (LSB-first LZW, no early change, EXACT interop,
+    tests/test_gif.py). Rows-only (binary payloads); per-pixel exactness
+    pinned by the interop tests."""
     from cog3pio_spark.operators.multimodal import extract_features
 
     data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
     names = (
         "java_gray.jpg", "java_rgb420.jpg",
+        "java_gray_prog.jpg", "java_rgb_prog.jpg",
         "java_gray.png", "java_rgba.png",
         "java_indexed.gif",
     )

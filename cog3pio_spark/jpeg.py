@@ -1,10 +1,11 @@
-"""Baseline JPEG decoder in pure Python/numpy (no codec libraries).
+"""Baseline + progressive JPEG decoder in pure Python/numpy (no codec libs).
 
 Third fully-real in-repo media codec (after the TIFF reader/writer and the
-WAV parser): baseline DCT JPEGs (SOF0/SOF1, the overwhelming majority of web
-images) decode to (bands, h, w) uint8 tensors. Progressive (SOF2),
-arithmetic-coded, and hierarchical streams raise an honest
-``unsupported error`` — never a faked decode.
+WAV parser): baseline DCT JPEGs (SOF0/SOF1) and progressive JPEGs (SOF2 —
+spectral selection + successive approximation, r4: most large web JPEGs are
+progressive) decode to (bands, h, w) uint8 tensors. Arithmetic-coded,
+lossless and hierarchical streams raise an honest ``unsupported error`` —
+never a faked decode.
 
 Correctness is pinned the same way as the TIFF codecs: a second independent
 implementation (Java ImageIO via the Spark JVM) encodes fixtures and
@@ -119,7 +120,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    scans: list[dict] = []
     restart_interval = 0
 
     while pos < len(raw):
@@ -152,7 +153,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
                     i += 64
                 qtables[tq] = vals
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise JpegDecodeError(
@@ -162,11 +163,15 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {
+                0xC3: "lossless", 0xC9: "arithmetic-coded", 0xCA: "arithmetic-coded",
+                0xCB: "arithmetic-coded",
+            }.get(marker, f"SOF{marker - 0xC0}")
             raise JpegDecodeError(
-                f"unsupported error: {kind} JPEG is unsupported (baseline only)"
+                f"unsupported error: {kind} JPEG is unsupported "
+                f"(baseline + progressive Huffman only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -185,6 +190,9 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append({"id": cid, "dc": tda >> 4, "ac": tda & 0x0F})
+            # spectral selection + successive approximation (baseline streams
+            # carry the fixed 0/63/0/0 here)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             # entropy-coded data follows until a non-RST marker; de-stuff,
             # split at restart markers
             segments: list[bytes] = []
@@ -206,12 +214,31 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 cur.append(b)
                 pos += 1
             segments.append(bytes(cur))
-            scan = {"comps": scan_comps, "segments": segments}
-            break  # single-scan baseline: decode below
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "segments": segments,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    # snapshot: DHT/DRI may be redefined between scans
+                    "htables": dict(htables),
+                    "ri": restart_interval,
+                }
+            )
+            if frame is not None and not frame.get("progressive"):
+                break  # single-scan sequential: decode below
         # other segments (APPn, COM) are skipped
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise JpegDecodeError("Cannot parse JPEG: missing SOF/SOS")
+    if frame.get("progressive"):
+        planes, comps, max_h, max_v = _decode_progressive_scans(
+            frame, scans, qtables
+        )
+        return _assemble_output(planes, comps, frame, max_h, max_v)
+    scan = scans[0]
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
     for sc in scan["comps"]:
@@ -288,26 +315,36 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
 
-    def _upsample(p: np.ndarray, ry: int, rx: int) -> np.ndarray:
-        """Triangle-filter upsampling (libjpeg 'fancy' upsampling): output
-        sample centers sit at (i+0.5)/r − 0.5 in input coordinates with
-        edge clamp — matches reference decoders far better than nearest
-        (measured: RGB mean error 1.95 → well under 1 on smooth chroma)."""
-        for axis, r in ((0, ry), (1, rx)):
-            if r == 1:
-                continue
-            n = p.shape[axis]
-            pos = (np.arange(n * r) + 0.5) / r - 0.5
-            lo = np.clip(np.floor(pos).astype(int), 0, n - 1)
-            hi = np.clip(lo + 1, 0, n - 1)
-            frac = np.clip(pos - lo, 0.0, 1.0)
-            a = np.take(p, lo, axis=axis)
-            b = np.take(p, hi, axis=axis)
-            shape = [1, 1]
-            shape[axis] = -1
-            p = a + (b - a) * frac.reshape(shape)
-        return p
+    return _assemble_output(planes, comps, frame, max_h, max_v)
 
+
+def _upsample(p: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """Triangle-filter upsampling (libjpeg 'fancy' upsampling): output
+    sample centers sit at (i+0.5)/r − 0.5 in input coordinates with
+    edge clamp — matches reference decoders far better than nearest
+    (measured: RGB mean error 1.95 → well under 1 on smooth chroma)."""
+    for axis, r in ((0, ry), (1, rx)):
+        if r == 1:
+            continue
+        n = p.shape[axis]
+        pos = (np.arange(n * r) + 0.5) / r - 0.5
+        lo = np.clip(np.floor(pos).astype(int), 0, n - 1)
+        hi = np.clip(lo + 1, 0, n - 1)
+        frac = np.clip(pos - lo, 0.0, 1.0)
+        a = np.take(p, lo, axis=axis)
+        b = np.take(p, hi, axis=axis)
+        shape = [1, 1]
+        shape[axis] = -1
+        p = a + (b - a) * frac.reshape(shape)
+    return p
+
+
+def _assemble_output(
+    planes: dict[int, np.ndarray], comps: list[dict], frame: dict,
+    max_h: int, max_v: int,
+) -> np.ndarray:
+    """Level-shift, upsample subsampled planes, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
     out_planes = []
     for c in comps:
         p = planes[c["id"]] + 128.0
@@ -328,3 +365,218 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive (SOF2): spectral selection + successive approximation -------
+# Algorithms follow ITU-T T.81 §G.1.2 (and match libjpeg's
+# decode_mcu_DC_first/DC_refine/AC_first/AC_refine structure, re-derived from
+# the spec): coefficients accumulate across scans in zigzag order; IDCT and
+# dequantization happen once, after every scan has contributed.
+
+
+def _dc_unit(reader, tbl, zz, ah, al, state, cid):
+    """One block's DC contribution: first scan decodes the Huffman diff and
+    stores pred << Al; refinement scans append one raw bit at position Al."""
+    if ah == 0:
+        if tbl is None:
+            raise JpegDecodeError("Cannot parse JPEG: missing table")
+        t = reader.read_huffman(tbl)
+        diff = _extend(reader.read_bits(t), t)
+        state["pred"][cid] += diff
+        zz[0] = state["pred"][cid] << al
+    else:
+        if reader.read_bit():
+            zz[0] |= 1 << al
+
+
+def _ac_first_unit(reader, tbl, zz, ss, se, al, state):
+    """First AC scan of a band (Ah=0): like baseline AC decoding restricted
+    to [Ss, Se], plus EOBn run-length codes spanning whole blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    if tbl is None:
+        raise JpegDecodeError("Cannot parse JPEG: missing table")
+    k = ss
+    while k <= se:
+        rs = reader.read_huffman(tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            # EOBn: this block ends; (1<<r)+bits−1 further blocks end too
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegDecodeError("Cannot decode JPEG: AC index overflow")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, tbl, zz, ss, se, al, state):
+    """AC refinement (Ah>0): one correction bit per already-nonzero
+    coefficient in the band; newly-nonzero coefficients arrive as ±1<<Al.
+    Zero-run counts (r) skip ZERO-HISTORY positions only — nonzero
+    coefficients passed on the way consume correction bits but do not count
+    toward the run (T.81 §G.1.2.3)."""
+    if tbl is None:
+        raise JpegDecodeError("Cannot parse JPEG: missing table")
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.read_huffman(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r=15, s=0: run of 16 zero-history positions, no new coef
+            else:
+                if s != 1:
+                    raise JpegDecodeError(
+                        "Cannot decode JPEG: invalid AC refinement code"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB span: the band still carries correction bits for its
+        # already-nonzero coefficients
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_one_progressive_scan(
+    scan, frame, by_id, coefs, mcus_x, mcus_y, max_h, max_v
+):
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    htables, ri = scan["htables"], scan["ri"]
+    h, w = frame["h"], frame["w"]
+    scomps = scan["comps"]
+    for sc in scomps:
+        if sc["id"] not in by_id:
+            raise JpegDecodeError("Cannot parse JPEG: scan component mismatch")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise JpegDecodeError(
+            "Cannot decode JPEG: progressive DC scan must have Se=0"
+        )
+    if not dc_scan and len(scomps) != 1:
+        raise JpegDecodeError(
+            "Cannot decode JPEG: progressive AC scan must be single-component"
+        )
+
+    seg_iter = iter(scan["segments"])
+    reader = _BitReader(next(seg_iter))
+    state = {"eobrun": 0, "pred": {sc["id"]: 0 for sc in scomps}}
+
+    def restart():
+        nonlocal reader
+        try:
+            reader = _BitReader(next(seg_iter))
+        except StopIteration:
+            raise JpegDecodeError(
+                "Cannot decode JPEG: entropy data truncated "
+                "(missing restart segment)"
+            ) from None
+        state["eobrun"] = 0
+        state["pred"] = {sc["id"]: 0 for sc in scomps}
+
+    if dc_scan and len(scomps) > 1:
+        # interleaved DC scan: MCU order over every scan component's blocks
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and mcu_count and mcu_count % ri == 0:
+                    restart()
+                for sc in scomps:
+                    c = by_id[sc["id"]]
+                    tbl = htables.get((0, sc["dc"]))
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            zz = coefs[c["id"]][my * c["v"] + v, mx * c["h"] + hh]
+                            _dc_unit(reader, tbl, zz, ah, al, state, sc["id"])
+                mcu_count += 1
+        return
+
+    # single-component scan (all AC scans; DC scans with ns=1): block order
+    # is the COMPONENT's own raster grid (ceil(comp_dim/8)), not MCU order —
+    # MCU-padding blocks are not coded (T.81 §A.2.2)
+    sc = scomps[0]
+    c = by_id[sc["id"]]
+    comp_w = -(-w * c["h"] // max_h)
+    comp_h = -(-h * c["v"] // max_v)
+    bw = -(-comp_w // 8)
+    bh = -(-comp_h // 8)
+    tbl = htables.get((0, sc["dc"]) if dc_scan else (1, sc["ac"]))
+    arr = coefs[c["id"]]
+    unit_count = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and unit_count and unit_count % ri == 0:
+                restart()
+            zz = arr[byi, bxi]
+            if dc_scan:
+                _dc_unit(reader, tbl, zz, ah, al, state, sc["id"])
+            elif ah == 0:
+                _ac_first_unit(reader, tbl, zz, ss, se, al, state)
+            else:
+                _ac_refine_unit(reader, tbl, zz, ss, se, al, state)
+            unit_count += 1
+
+
+def _decode_progressive_scans(frame, scans, qtables):
+    """Run every scan into a per-component zigzag coefficient store, then
+    dequantize + IDCT all blocks at once (vectorized einsum — progressive
+    pays the bit-serial cost only in entropy decoding)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    by_id = {c["id"]: c for c in comps}
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+    for scan in scans:
+        _decode_one_progressive_scan(
+            scan, frame, by_id, coefs, mcus_x, mcus_y, max_h, max_v
+        )
+    planes = {}
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JpegDecodeError("Cannot parse JPEG: missing table")
+        deq = coefs[c["id"]].astype(np.float64) * q  # zigzag-order dequant
+        nat = np.zeros_like(deq)
+        nat[..., _ZIGZAG] = deq
+        nby, nbx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        spatial = np.einsum("ab,ijbc,cd->ijad", _C.T, blocks, _C)
+        planes[c["id"]] = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return planes, comps, max_h, max_v

@@ -2,7 +2,7 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata. FIVE
 media families decode FOR REAL with in-repo pure-numpy/stdlib codecs —
-TIFF (operators/decode.py + tiff/), baseline JPEG (cog3pio_spark/jpeg.py),
+TIFF (operators/decode.py + tiff/), JPEG baseline+progressive (cog3pio_spark/jpeg.py, r4),
 PNG (cog3pio_spark/png.py), GIF (cog3pio_spark/gif.py) and WAV audio (here) — plus REAL MP4 container
 metadata. Formats whose codecs are genuinely absent in-sandbox (webp,
 video FRAME decode...) keep honest deterministic stand-ins: the Spark

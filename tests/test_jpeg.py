@@ -85,17 +85,83 @@ def test_sharp_chroma_roundtrip_tolerance(spark):
 
 
 def test_jpeg_error_taxonomy():
-    """Honest failures: not-a-JPEG, progressive (SOF2), truncated entropy."""
+    """Honest failures: not-a-JPEG, arithmetic-coded (SOF9), truncated
+    entropy, and a baseline stream mislabeled SOF2 (its Ss=0/Se=63 scan is
+    an illegal progressive DC band — r4: progressive itself now decodes)."""
     with pytest.raises(JpegDecodeError, match="missing SOI"):
         decode_jpeg(b"\x89PNG\r\n" + b"x" * 32)
     raw = bytearray(open(os.path.join(DATA, "java_gray.jpg"), "rb").read())
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(JpegDecodeError, match="progressive JPEG is unsupported"):
+    raw[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic-coded sequential)
+    with pytest.raises(JpegDecodeError, match="arithmetic-coded JPEG is unsupported"):
+        decode_jpeg(bytes(raw))
+    raw[i + 1] = 0xC2  # mislabel as progressive: scan band is invalid for SOF2
+    with pytest.raises(JpegDecodeError, match="DC scan must have Se=0"):
         decode_jpeg(bytes(raw))
     good = open(os.path.join(DATA, "java_gray.jpg"), "rb").read()
     with pytest.raises(JpegDecodeError, match="truncated"):
         decode_jpeg(good[: len(good) // 2])
+
+
+def test_progressive_gray_fixture_matches_imageio(spark):
+    """Committed ImageIO-written PROGRESSIVE gray JPEG (r4; same 70x40 pixel
+    formula as the baseline fixture; scan script = single-component DC
+    first, two spectral-selection AC first scans, AC refinement, DC
+    refinement — Ah/Al 0..2): our decode agrees with ImageIO's within the
+    baseline gray tolerance (±2)."""
+    raw = open(os.path.join(DATA, "java_gray_prog.jpg"), "rb").read()
+    assert b"\xff\xc2" in raw  # really SOF2
+    ours = decode_jpeg(raw)
+    ref = _imageio_decode(spark, raw)
+    assert ours.shape == ref.shape == (1, 40, 70)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.max() <= 2, d.max()
+
+
+def test_progressive_rgb_fixture_matches_imageio(spark):
+    """Committed progressive color JPEG (r4; wrap-edge gradients, scan
+    script = INTERLEAVED 3-component DC first + per-component AC
+    first/refinement + interleaved DC refinement): same tolerance contract
+    as the sharp-chroma baseline test (p99 <= 3, bounded max)."""
+    raw = open(os.path.join(DATA, "java_rgb_prog.jpg"), "rb").read()
+    assert b"\xff\xc2" in raw
+    ours = decode_jpeg(raw)
+    ref = _imageio_decode(spark, raw)
+    assert ours.shape == ref.shape == (3, 28, 40)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert np.percentile(d, 99) <= 3 and d.max() <= 16, (d.max(), np.percentile(d, 99))
+
+
+def test_progressive_fresh_encode_roundtrip(spark):
+    """Freshly ImageIO-encoded progressive stream (not the committed bytes):
+    decode tolerance holds for whatever scan script this JVM emits."""
+    yy, xx = np.mgrid[0:33, 0:41]  # odd dims: exercises partial-MCU edges
+    arr = np.stack(
+        [(yy * 5 + 11) % 256, (xx * 9 + 70) % 256, ((yy * 2 + xx) * 3) % 256]
+    ).astype(np.uint8)
+    jvm = spark._jvm
+    _, h, w = arr.shape
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                (int(arr[0, y, x]) << 16) | (int(arr[1, y, x]) << 8) | int(arr[2, y, x]),
+            )
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    data = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in data
+    d = np.abs(decode_jpeg(data).astype(int) - _imageio_decode(spark, data).astype(int))
+    assert np.percentile(d, 99) <= 3 and d.max() <= 16, (d.max(), np.percentile(d, 99))
 
 
 def test_jpeg_through_spark_operators(spark):
