@@ -103,6 +103,7 @@ def run_spatial_pipeline(spark, n_docs: int) -> tuple[float, int]:
 
 def main() -> None:
     import __spark_entry__ as E
+    from pyspark.sql import functions as F
     from cog3pio_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
@@ -133,6 +134,28 @@ def main() -> None:
     times["spatial_pipeline"] = round(sec, 3)
     docs_per_sec = docs / sec
 
+    # control job (VERDICT r3 #8): the same pure whole-stage-codegen
+    # xxhash-sum job tools/scaling.py uses to measure the BOX, run inside
+    # this bench's session — cross-round headline comparisons can then
+    # normalize out sibling load / DRAM-contention swings (the r3 control
+    # swung 0.76-0.96 between same-day runs). Min of 3 runs, untimed warm-up
+    # excluded, ~3e9 rows matching scaling.py's CONTROL_ROWS.
+    control_rows = 3_000_000_000
+    ctrl_times = []
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")  # match scaling.py's
+    try:  # session: the hash SUM wraps past long range by design
+        for run in range(4):
+            t0 = time.perf_counter()
+            spark.range(control_rows, numPartitions=max(8, int(CPUS) * 8)).select(
+                F.sum(F.xxhash64(F.col("id"), F.col("id") * 3, F.col("id") + 7))
+            ).collect()
+            if run:
+                ctrl_times.append(time.perf_counter() - t0)
+            log(f"control run{run}: {time.perf_counter() - t0:.2f}s")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -144,6 +167,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": docs,
                 "cpus": CPUS,
+                "control": {
+                    "sec": round(min(ctrl_times), 3),
+                    "rows": control_rows,
+                    "job": "sum(xxhash64(id,id*3,id+7)) — scaling.py control",
+                },
             }
         )
     )

@@ -116,7 +116,11 @@ def _decode_one(
     there it is simply the object size)."""
     # imports inside the worker function: keeps the closure import-light
     from cog3pio_spark.tiff import reader as R
-    from cog3pio_spark.tiff.reader import CogReader, file_range_fetcher
+    from cog3pio_spark.tiff.reader import (
+        CogReader,
+        file_range_fetcher,
+        http_range_fetcher,
+    )
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
     row["media_ref"] = ref
@@ -125,7 +129,12 @@ def _decode_one(
         cache = None
         range_factory = None
         if range_read:
-            factories = {"file": file_range_fetcher, **(range_fetchers or {})}
+            factories = {
+                "file": file_range_fetcher,
+                "http": http_range_fetcher,
+                "https": http_range_fetcher,
+                **(range_fetchers or {}),
+            }
             range_factory = factories.get(scheme)
             if (
                 fetchers

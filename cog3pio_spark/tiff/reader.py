@@ -190,6 +190,38 @@ def file_range_fetcher(path: str):
     return fetch
 
 
+def http_range_fetcher(url: str):
+    """Range fetcher over HTTP(S) for CogReader.from_fetcher — the ranged
+    GET the reference never issues (adapters.rs:158-168 fetches whole
+    objects). Each ``(offset, length)`` read becomes a
+    ``Range: bytes=off-end`` request; a server that ignores Range (200
+    instead of 206) degrades gracefully by slicing the full body, so the
+    decode stays correct — just without the IO savings. Error taxonomy
+    matches ``_fetch_http`` ("Cannot fetch url: ..."). Verified offline
+    against an in-process Range-aware HTTP server
+    (tests/test_window.py::test_http_range_fetcher_*); no external network
+    is required or assumed."""
+    import urllib.error
+    import urllib.request
+
+    def fetch(off: int, n: int) -> bytes:
+        req = urllib.request.Request(
+            url, headers={"Range": f"bytes={off}-{off + n - 1}"}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                body = resp.read()
+                if resp.status == 206:
+                    return body
+                return body[off : off + n]  # Range ignored: whole-object 200
+        except urllib.error.URLError as exc:
+            raise TiffDecodeError(
+                f"Cannot fetch url: {url} ({getattr(exc, 'reason', exc)})"
+            ) from exc
+
+    return fetch
+
+
 def _read_ifds(rd) -> tuple[list[dict[int, list]], str]:
     """Parse the full IFD chain (image 0 = full resolution, 1.. = overviews)
     through a ``rd(offset, length) -> bytes`` accessor, so the same walk

@@ -103,3 +103,126 @@ def test_range_read_window_fetches_only_needed_bytes(tmp_path):
     # full decode through the range path still equals the buffer path
     r2 = CogReader.from_fetcher(file_range_fetcher(p))
     np.testing.assert_array_equal(r2.to_numpy(), arr)
+
+
+class _RangeHTTPServer:
+    """In-process HTTP server honoring Range requests (loopback only) — the
+    sandbox has no external network, so the HTTP range-read path is smoked
+    against this second implementation of the protocol (r4, VERDICT r3 #7)."""
+
+    def __init__(self, payload: bytes, honor_range: bool = True):
+        import http.server
+        import threading
+
+        srv_self = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                data = srv_self.payload
+                rng = self.headers.get("Range")
+                if rng and srv_self.honor_range:
+                    spec = rng.split("=", 1)[1]
+                    lo, hi = spec.split("-")
+                    lo, hi = int(lo), min(int(hi), len(data) - 1)
+                    body = data[lo : hi + 1]
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+                    )
+                else:
+                    body = data
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                srv_self.requests.append(rng)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.payload = payload
+        self.honor_range = honor_range
+        self.requests: list = []
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self._httpd.server_address[1]
+        self._t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._t.start()
+
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.port}/t.tif"
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def test_http_range_fetcher_window_decode(tiled_file):
+    """CogReader.from_fetcher over http_range_fetcher against a REAL (local)
+    HTTP server: window pixels equal the in-memory decode, and the ranged
+    GETs fetch far fewer bytes than the object."""
+    from cog3pio_spark.tiff.reader import http_range_fetcher
+
+    p, arr = tiled_file
+    raw = open(p, "rb").read()
+    srv = _RangeHTTPServer(raw)
+    try:
+        r = CogReader.from_fetcher(http_range_fetcher(srv.url()), block_size=2048)
+        np.testing.assert_array_equal(
+            r.to_numpy(window=(0, 0, 16, 16)), arr[:, :16, :16]
+        )
+        assert r.range_cache.bytes_fetched < len(raw)
+        assert all(rq and rq.startswith("bytes=") for rq in srv.requests)
+    finally:
+        srv.close()
+
+
+def test_http_range_fetcher_degrades_on_200(tiled_file):
+    """A server that ignores Range (200 + full body) must still decode
+    correctly — the fetcher slices the body to the requested range."""
+    from cog3pio_spark.tiff.reader import http_range_fetcher
+
+    p, arr = tiled_file
+    raw = open(p, "rb").read()
+    srv = _RangeHTTPServer(raw, honor_range=False)
+    try:
+        r = CogReader.from_fetcher(http_range_fetcher(srv.url()), block_size=2048)
+        np.testing.assert_array_equal(
+            r.to_numpy(window=(5, 9, 40, 33)), arr[:, 9:33, 5:40]
+        )
+    finally:
+        srv.close()
+
+
+def test_http_range_fetcher_through_decode_tiles(spark, tiled_file):
+    """decode_tiles(range_read=True) dispatches http:// refs to the HTTP
+    range fetcher on executors; fetched_bytes telemetry records ranged IO."""
+    from cog3pio_spark.operators.decode import decode_tiles
+
+    p, arr = tiled_file
+    raw = open(p, "rb").read()
+    srv = _RangeHTTPServer(raw)
+    try:
+        refs = spark.createDataFrame([(srv.url(),)], ["media_ref"])
+        row = decode_tiles(refs, window=(0, 0, 16, 16), range_read=True).collect()[0]
+        assert row["status"] == "ok"
+        assert (row["height"], row["width"]) == (16, 16)
+        # the fixture is smaller than the 64 KB header block, so the clamped
+        # range covers the whole object — the point here is that the IO went
+        # through ranged GETs (block-size economics are pinned by
+        # test_range_read_window_fetches_only_needed_bytes)
+        assert 0 < row["fetched_bytes"] <= len(raw)
+        assert srv.requests and all(
+            rq and rq.startswith("bytes=") for rq in srv.requests
+        )
+        assert abs(row["mean"] - float(arr[:, :16, :16].mean())) < 1e-5
+    finally:
+        srv.close()
+
+
+def test_http_range_fetcher_error_taxonomy():
+    """Connection-refused surfaces the reference-shaped fetch error."""
+    from cog3pio_spark.tiff.reader import http_range_fetcher
+
+    fetch = http_range_fetcher("http://127.0.0.1:9/t.tif")  # port 9: discard
+    with pytest.raises(TiffDecodeError, match="Cannot fetch url"):
+        fetch(0, 8)
