@@ -782,9 +782,14 @@ def q56_image_codecs(spark, sf):
     approximation; interop ±2 vs ImageIO, tests/test_jpeg.py), PNG (zlib +
     5 scanline filters + palette/16-bit, EXACT lossless interop,
     tests/test_png.py), GIF (LSB-first LZW, no early change, EXACT interop,
-    tests/test_gif.py). Rows-only (binary payloads); per-pixel exactness
-    pinned by the interop tests."""
-    from cog3pio_spark.operators.multimodal import extract_features
+    tests/test_gif.py). Joined with the r4 header-only image_meta pass
+    (dims/bands/SOF detail with NO pixel decode — incl. a WebP row whose
+    dimensions parse from the VP8L chunk header while its pixels stay
+    honestly undecodable in-sandbox). Rows-only (binary payloads);
+    per-pixel exactness pinned by the interop tests."""
+    import struct
+
+    from cog3pio_spark.operators.multimodal import extract_features, image_meta
 
     data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
     names = (
@@ -796,17 +801,28 @@ def q56_image_codecs(spark, sf):
     rows = [
         (name, open(os.path.join(data_dir, name), "rb").read()) for name in names
     ]
+    webp_bits = 63 | (47 << 14)  # 64x48, no alpha
     rows += [
         ("broken.jpg", b"\xff\xd8\xff\xe0garbage"),
         ("broken.png", b"\x89PNG\r\n\x1a\ngarbage"),
         ("broken.gif", b"GIF89agarbage"),
+        ("tiny.webp",
+         b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+         + b"VP8L" + struct.pack("<I", 8) + bytes([0x2F])
+         + struct.pack("<I", webp_bits) + b"\x00" * 3),
     ]
     blobs = spark.createDataFrame(rows, ["media_id", "blob"])
-    return extract_features(blobs).select(
+    feats = extract_features(blobs).select(
         "media_id", "media_type",
         F.round(F.element_at("features", 15), 6).alias("px_mean"),
         F.round(F.element_at("features", 16), 6).alias("px_std"),
-    ).orderBy("media_id")
+    )
+    hdr = image_meta(blobs).select(
+        "media_id",
+        F.col("width").alias("hdr_w"), F.col("height").alias("hdr_h"),
+        F.col("bands").alias("hdr_bands"), F.col("detail").alias("hdr_detail"),
+    )
+    return feats.join(hdr, "media_id", "left").orderBy("media_id")
 
 
 def q52_ivfpq_topk(spark, sf):

@@ -47,6 +47,13 @@ def attach_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             .when(head.startswith("89504E47"), "image/png")
             .when(head.startswith("49492A00"), "image/tiff")
             .when(head.startswith("4D4D002A"), "image/tiff")
+            # RIFF is a container family: bytes 9-12 carry the form type
+            # (r4 fix: webp blobs used to sniff as audio/wav)
+            .when(
+                head.startswith("52494646")
+                & (F.hex(F.substring(b, 9, 4)) == "57454250"),
+                "image/webp",
+            )
             .when(head.startswith("52494646"), "audio/wav")
             .when(head.startswith("47494638"), "image/gif")
             # ISO-BMFF: bytes 5-8 are 'ftyp' (bytes 1-4 are the box size)
@@ -448,6 +455,23 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("n_tracks", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # r4: per-track detail — handler fourcc from mdia/hdlr ('vide',
+        # 'soun', ...), codec fourcc from stbl/stsd's first sample entry
+        # ('avc1', 'hev1', 'mp4a', ...), sample-entry dimensions for video
+        # tracks. The per-container width/height stay for compatibility.
+        T.StructField(
+            "tracks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("handler", T.StringType()),
+                        T.StructField("codec", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -476,8 +500,42 @@ def _parse_mp4(raw: bytes) -> dict:
 
     if len(raw) < 12:
         raise ValueError("Cannot parse video: not an ISO-BMFF stream")
+    def parse_track(tbody, tend):
+        """One trak box → (handler, codec, width, height) from mdia/hdlr and
+        stbl/stsd's first sample entry (r4: per-track codec ids). hdlr is
+        resolved in a first pass so the video-entry dimension parse never
+        guesses from entry sizes."""
+        track = {"handler": None, "codec": None, "width": None, "height": None}
+        mdia = [
+            (mb, me) for mt, mb, me in boxes(raw, tbody, tend) if mt == b"mdia"
+        ]
+        for mbody, mend in mdia:
+            for mtype, bb, be in boxes(raw, mbody, mend):
+                if mtype == b"hdlr" and be - bb >= 12:
+                    track["handler"] = raw[bb + 8 : bb + 12].decode("ascii", "replace")
+        for mbody, mend in mdia:
+            for mtype, nb, ne in boxes(raw, mbody, mend):
+                if mtype != b"minf":
+                    continue
+                for ntype, sb, se in boxes(raw, nb, ne):
+                    if ntype != b"stbl":
+                        continue
+                    for stype, db, de in boxes(raw, sb, se):
+                        if stype != b"stsd" or de - db < 16:
+                            continue
+                        # ver/flags(4) + entry_count(4), then sample entries
+                        p = db + 8
+                        esize, fmt = struct.unpack_from(">I4s", raw, p)
+                        track["codec"] = fmt.decode("ascii", "replace")
+                        # visual sample entry: +8 fourcc/size, +8 resv/
+                        # dataref, +16 pre_defined/resv, then width/height
+                        if track["handler"] == "vide" and esize >= 36 and p + 36 <= de:
+                            vw, vh = struct.unpack_from(">HH", raw, p + 32)
+                            track["width"], track["height"] = int(vw), int(vh)
+        return track
+
     meta = {"brand": None, "duration_s": None, "n_tracks": 0,
-            "width": None, "height": None}
+            "width": None, "height": None, "tracks": []}
     saw_ftyp = False
     for btype, body, bend in boxes(raw, 0, len(raw)):
         if btype == b"ftyp":
@@ -494,6 +552,7 @@ def _parse_mp4(raw: bytes) -> dict:
                     meta["duration_s"] = float(dur) / ts if ts else 0.0
                 elif ctype == b"trak":
                     meta["n_tracks"] += 1
+                    meta["tracks"].append(parse_track(cbody, cend))
                     for ttype, tbody, tend in boxes(raw, cbody, cend):
                         if ttype == b"tkhd":
                             ver = raw[tbody]
@@ -524,11 +583,162 @@ def video_meta(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") 
                     out["error_msg"].append(None)
                     for k in ("brand", "duration_s", "n_tracks", "width", "height"):
                         out[k].append(meta[k])
+                    out["tracks"].append(
+                        [
+                            (t["handler"], t["codec"], t["width"], t["height"])
+                            for t in meta["tracks"]
+                        ]
+                    )
                 except Exception as exc:
                     out["status"].append("error")
                     out["error_msg"].append(str(exc))
-                    for k in ("brand", "duration_s", "n_tracks", "width", "height"):
+                    for k in ("brand", "duration_s", "n_tracks", "width",
+                              "height", "tracks"):
                         out[k].append(None)
             yield pd.DataFrame(out)
 
     return sel.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+# -- header-only image metadata (r4) -----------------------------------------
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_msg", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("detail", T.StringType()),
+    ]
+)
+
+_PNG_BANDS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_JPEG_SOFS = {
+    0xC0: "baseline", 0xC1: "extended-sequential", 0xC2: "progressive",
+    0xC3: "lossless", 0xC5: "sequential-dht", 0xC6: "progressive-dht",
+    0xC7: "lossless-dht", 0xC9: "arithmetic-sequential",
+    0xCA: "arithmetic-progressive", 0xCB: "arithmetic-lossless",
+    0xCD: "arithmetic-sequential-dht", 0xCE: "arithmetic-progressive-dht",
+    0xCF: "arithmetic-lossless-dht",
+}
+
+
+def _image_header_meta(raw: bytes) -> dict:
+    """Dimensions/bands from HEADERS ONLY — no pixel decode. This is the
+    filter a 100 TB curation pass runs before paying for any decode
+    ("drop images under 64px"), so it also covers formats whose pixel
+    codecs are absent in-sandbox: WebP dims parse from the VP8/VP8L/VP8X
+    chunk headers per the public container spec even though webp PIXELS
+    stay honestly undecodable here."""
+    if len(raw) < 12:
+        raise ValueError("Cannot parse image: truncated header")
+    if raw[:2] == b"\xff\xd8":  # JPEG: walk markers to the SOF
+        pos = 2
+        while pos + 4 <= len(raw):
+            if raw[pos] != 0xFF:
+                raise ValueError("Cannot parse image: JPEG marker expected")
+            while pos < len(raw) and raw[pos] == 0xFF:
+                pos += 1
+            m = raw[pos]
+            pos += 1
+            if m == 0x01 or 0xD0 <= m <= 0xD9:
+                continue
+            if pos + 2 > len(raw):
+                break
+            (seglen,) = struct.unpack_from(">H", raw, pos)
+            if m in _JPEG_SOFS:
+                h, w = struct.unpack_from(">HH", raw, pos + 3)
+                ncomp = raw[pos + 7]
+                return {
+                    "media_type": "image/jpeg", "width": int(w),
+                    "height": int(h), "bands": int(ncomp),
+                    "detail": _JPEG_SOFS[m],
+                }
+            pos += seglen
+        raise ValueError("Cannot parse image: JPEG SOF not found")
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(raw) < 26 or raw[12:16] != b"IHDR":
+            raise ValueError("Cannot parse image: PNG IHDR missing")
+        w, h = struct.unpack_from(">II", raw, 16)
+        depth, color = raw[24], raw[25]
+        return {
+            "media_type": "image/png", "width": int(w), "height": int(h),
+            "bands": _PNG_BANDS.get(color, 0), "detail": f"{depth}-bit-ct{color}",
+        }
+    if raw[:4] == b"GIF8":
+        w, h = struct.unpack_from("<HH", raw, 6)
+        return {"media_type": "image/gif", "width": int(w), "height": int(h),
+                "bands": 3, "detail": raw[:6].decode("ascii", "replace")}
+    if raw[:2] in (b"II", b"MM"):
+        from cog3pio_spark.tiff.reader import CogReader
+
+        r = CogReader(raw)  # tag parse only; decode stays lazy
+        return {"media_type": "image/tiff", "width": r.width,
+                "height": r.height, "bands": r.bands, "detail": r.dtype_name
+                if hasattr(r, "dtype_name") else str(r.dtype)}
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(raw):
+            fourcc = raw[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", raw, pos + 4)
+            body = pos + 8
+            if fourcc == b"VP8 " and body + 10 <= len(raw):
+                if raw[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                    raise ValueError("Cannot parse image: bad VP8 start code")
+                (w,) = struct.unpack_from("<H", raw, body + 6)
+                (h,) = struct.unpack_from("<H", raw, body + 8)
+                return {"media_type": "image/webp", "width": w & 0x3FFF,
+                        "height": h & 0x3FFF, "bands": 3, "detail": "vp8-lossy"}
+            if fourcc == b"VP8L" and body + 5 <= len(raw):
+                if raw[body] != 0x2F:
+                    raise ValueError("Cannot parse image: bad VP8L signature")
+                (bits,) = struct.unpack_from("<I", raw, body + 1)
+                alpha = (bits >> 28) & 1
+                return {
+                    "media_type": "image/webp",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "bands": 4 if alpha else 3, "detail": "vp8l-lossless",
+                }
+            if fourcc == b"VP8X" and body + 10 <= len(raw):
+                w = 1 + int.from_bytes(raw[body + 4 : body + 7], "little")
+                h = 1 + int.from_bytes(raw[body + 7 : body + 10], "little")
+                alpha = bool(raw[body] & 0x10)
+                return {
+                    "media_type": "image/webp", "width": w, "height": h,
+                    "bands": 4 if alpha else 3, "detail": "vp8x-extended",
+                }
+            pos = body + csize + (csize & 1)  # chunks are 2-byte aligned
+        raise ValueError("Cannot parse image: no VP8/VP8L/VP8X chunk")
+    raise ValueError("Cannot parse image: unknown format")
+
+
+def image_meta(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Header-only image metadata per blob (dims/bands/format detail
+    WITHOUT pixel decode — JPEG incl. every SOF variant, PNG, GIF, TIFF,
+    WebP VP8/VP8L/VP8X). The pre-decode curation filter: size/format gates
+    run over headers at a fraction of decode cost; error-channel rows for
+    unparseable blobs (decode operator contract)."""
+    sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in IMAGE_META_SCHEMA}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                out["media_id"].append(mid)
+                try:
+                    m = _image_header_meta(bytes(blob or b""))
+                    out["status"].append("ok")
+                    out["error_msg"].append(None)
+                    for k in ("media_type", "width", "height", "bands", "detail"):
+                        out[k].append(m[k])
+                except (ValueError, EOFError, struct.error) as exc:
+                    out["status"].append("error")
+                    out["error_msg"].append(str(exc))
+                    for k in ("media_type", "width", "height", "bands", "detail"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(batches, IMAGE_META_SCHEMA)

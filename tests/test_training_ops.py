@@ -833,3 +833,133 @@ def test_simhash_exact_anchor_guard(spark):
     )
     with pytest.raises(ValueError, match="max_rows"):
         simhash_hamming_pairs_exact(docs, max_rows=10)
+
+
+def _mini_mp4_with_codecs():
+    """ISO-BMFF with full track trees (r4): a 'vide'/avc1 track with a
+    visual sample entry carrying its own dimensions, and a 'soun'/mp4a
+    track — exercises mdia/hdlr + minf/stbl/stsd codec extraction."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+    def track(handler, codec, w=None, h=None):
+        hdlr = bytes(4) + b"\x00" * 4 + handler + b"\x00" * 12
+        if w is not None:
+            # visual sample entry: fourcc header handled by box(); body =
+            # resv(6)+dataref(2) + pre_defined/resv(16) + width/height + tail
+            entry = (
+                b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", w, h) + b"\x00" * 50
+            )
+        else:
+            entry = b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20
+        stsd = bytes(4) + struct.pack(">I", 1) + box(codec, entry)
+        stbl = box(b"stbl", box(b"stsd", stsd))
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", box(b"hdlr", hdlr) + minf)
+        tkhd = bytes(4) + b"\x00" * 72 + struct.pack(
+            ">II", (w or 0) << 16, (h or 0) << 16
+        )
+        return box(b"trak", box(b"tkhd", tkhd) + mdia)
+
+    mvhd = bytes(4) + b"\x00" * 8 + struct.pack(">II", 1000, 3000) + b"\x00" * 80
+    moov = box(
+        b"moov",
+        box(b"mvhd", mvhd) + track(b"vide", b"avc1", 320, 180)
+        + track(b"soun", b"mp4a"),
+    )
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def test_video_mp4_per_track_codecs(spark):
+    """r4 (round-3 candidate list): per-track metadata — handler fourcc
+    from mdia/hdlr, codec fourcc from the stsd sample entry, visual-entry
+    dimensions for video tracks; audio tracks carry codec but no dims.
+    Older fixtures without mdia trees still parse (tracks of nulls)."""
+    from cog3pio_spark.operators.multimodal import _parse_mp4, video_meta
+
+    raw = _mini_mp4_with_codecs()
+    meta = _parse_mp4(raw)
+    assert meta["n_tracks"] == 2
+    assert meta["tracks"][0] == {
+        "handler": "vide", "codec": "avc1", "width": 320, "height": 180
+    }
+    assert meta["tracks"][1] == {
+        "handler": "soun", "codec": "mp4a", "width": None, "height": None
+    }
+    # container-level fallback dims still come from tkhd
+    assert (meta["width"], meta["height"]) == (320, 180)
+
+    # bare-trak fixture (no mdia): per-track row exists, all-null detail
+    bare = _parse_mp4(_mini_mp4())
+    assert bare["tracks"] == [
+        {"handler": None, "codec": None, "width": None, "height": None}
+    ]
+
+    df = spark.createDataFrame([("v", raw)], ["media_id", "blob"])
+    row = video_meta(df).collect()[0]
+    assert row["status"] == "ok"
+    tracks = [(t["handler"], t["codec"], t["width"], t["height"])
+              for t in row["tracks"]]
+    assert tracks == [("vide", "avc1", 320, 180), ("soun", "mp4a", None, None)]
+
+
+def test_image_meta_header_only(spark):
+    """r4: header-only image metadata (the pre-decode curation filter) —
+    dims/bands/format detail for JPEG (incl. SOF kind: baseline vs
+    progressive), PNG, GIF, TIFF, and WebP (VP8/VP8L/VP8X chunk headers,
+    parsed per the public container spec even though webp PIXELS stay
+    honestly undecodable in-sandbox); error-channel rows for junk. The
+    attach_media_meta sniffer also distinguishes RIFF/WEBP from RIFF/WAVE
+    (r4 fix: webp used to mislabel audio/wav)."""
+    import os
+    import struct
+
+    from cog3pio_spark.operators.multimodal import attach_media_meta, image_meta
+    from cog3pio_spark.tiff.writer import write_tiff
+    import io
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    buf = io.BytesIO()
+    write_tiff(buf, np.arange(3 * 10 * 12, dtype=np.uint16).reshape(3, 10, 12))
+    webp_lossy = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 12) + b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 180) + b"\x00" * 2
+    )
+    bits = 99 | (49 << 14) | (1 << 28)  # 100x50, alpha
+    webp_lossless = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 8) + bytes([0x2F]) + struct.pack("<I", bits)
+        + b"\x00" * 3
+    )
+    rows = [
+        ("jb", open(os.path.join(data, "java_gray.jpg"), "rb").read()),
+        ("jp", open(os.path.join(data, "java_gray_prog.jpg"), "rb").read()),
+        ("pn", open(os.path.join(data, "java_rgba.png"), "rb").read()),
+        ("gf", open(os.path.join(data, "java_indexed.gif"), "rb").read()),
+        ("tf", buf.getvalue()),
+        ("wl", webp_lossy),
+        ("wz", webp_lossless),
+        ("junk", b"not an image at all....."),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    got = {r["media_id"]: r for r in image_meta(df).collect()}
+
+    assert (got["jb"]["width"], got["jb"]["height"], got["jb"]["detail"]) == (
+        70, 40, "baseline")
+    assert (got["jp"]["width"], got["jp"]["detail"]) == (70, "progressive")
+    assert (got["pn"]["width"], got["pn"]["height"], got["pn"]["bands"]) == (29, 21, 4)
+    assert (got["gf"]["width"], got["gf"]["height"]) == (31, 17)
+    assert (got["tf"]["width"], got["tf"]["height"], got["tf"]["bands"]) == (12, 10, 3)
+    assert (got["wl"]["width"], got["wl"]["height"], got["wl"]["detail"]) == (
+        320, 180, "vp8-lossy")
+    assert (got["wz"]["width"], got["wz"]["height"], got["wz"]["bands"],
+            got["wz"]["detail"]) == (100, 50, 4, "vp8l-lossless")
+    assert got["junk"]["status"] == "error"
+    assert "Cannot parse image" in got["junk"]["error_msg"]
+
+    sniff = {r["media_id"]: r["media_type"] for r in attach_media_meta(df).collect()}
+    assert sniff["wl"] == "image/webp" and sniff["wz"] == "image/webp"
