@@ -11,6 +11,9 @@
                        candidate pairing via 4-segment pigeonhole blocking.
 * ngram_jaccard      — exact n-gram Jaccard for a (small) candidate pair set.
 * embedding_dupes    — cosine near-dup over embedding vectors (see ann.py).
+* connected_components / dedupe_keep_list — cluster closure over the pair
+                       graph (alternating large-star/small-star, joins +
+                       min aggregates only) → per-doc keep/drop decisions.
 
 MinHash math is vectorized numpy inside pandas_udfs (Arrow batches);
 everything else is built-in column functions.
@@ -449,3 +452,129 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+# -- dedup cluster closure: connected components ------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in the pair graph — component = the
+    MINIMUM node id reachable through near-dup edges.
+
+    This closes the dedup contract the pair operators deliberately leave
+    open (minhash_lsh_dupes CONTRACT NOTE: pairs are edges up to
+    exact-duplicate equivalence; "consumers wanting closure should take
+    connected components"). Keep-list = nodes where id == component.
+
+    Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — the public
+    O(log² n)-round formulation), expressed purely as joins + min
+    aggregates so no per-node neighbor ARRAY ever materializes: a 10⁶-copy
+    boilerplate hub costs 10⁶ thin join rows, never a 10⁶-element
+    collect_list. Each half-round is one groupBy(min) + one equi-join on
+    the node id (8-byte shuffle keys). Rounds localCheckpoint so the plan
+    does not grow exponentially across iterations (lineage truncation, the
+    same reason ngram_jaccard_pairs checkpoints its gram table).
+
+    * large-star: every node v > u attaches to m(u) = min(N(u) ∪ {u}) —
+      tall chains collapse toward minima in parallel;
+    * small-star: every node v ≤ u (and u itself) attaches to the minimum
+      of u's small neighborhood — stars flatten to depth 1.
+
+    Converges when the edge multiset stops changing (checked via a
+    count+hash aggregate, one job per round); ``max_iters`` (default 50 ≫
+    the log² bound for any real graph) guards pathological inputs.
+    Deterministic: min is order-independent.
+    """
+    spark = pairs.sparkSession
+    # symmetric edge list without self loops, deduped
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(df: DataFrame):
+        # bit_xor: order-independent, overflow-free (a SUM of hashes wraps
+        # long and trips ANSI mode); edges are distinct so xor-of-set +
+        # count is a sound fixpoint signature
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _round(df: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over the (large: full) neighborhood ∪ {u}
+        nbr = df if large else df.filter(F.col("v") <= F.col("u"))
+        m = (
+            nbr.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        if large:
+            # attach every neighbor v > u to m(u)
+            out = (
+                df.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            # attach u and every v <= u to m(u)
+            small = df.filter(F.col("v") <= F.col("u"))
+            out = (
+                small.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            )
+        sym = out.filter(F.col("u") != F.col("v"))
+        return (
+            sym.unionByName(
+                sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    sig = _signature(edges)
+    for _ in range(max_iters):
+        edges = _round(_round(edges, large=True), large=False)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # after convergence every edge points node → its component min (depth-1
+    # stars, symmetrized): component(u) = min neighbor when < u, else u
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+    return labels
+
+
+def dedupe_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component, keep) over ALL docs: component closure of the pair
+    graph joined back to the corpus — keep = the component's min id (docs
+    in no pair keep themselves). The end-to-end dedup decision surface:
+    filter keep to materialize the deduplicated corpus."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

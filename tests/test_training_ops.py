@@ -963,3 +963,98 @@ def test_image_meta_header_only(spark):
 
     sniff = {r["media_id"]: r["media_type"] for r in attach_media_meta(df).collect()}
     assert sniff["wl"] == "image/webp" and sniff["wz"] == "image/webp"
+
+
+def _union_find_components(edges, nodes):
+    """Pure-python union-find — the independent oracle for the distributed
+    large-star/small-star implementation."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    """r4: dedup cluster closure — the alternating large-star/small-star
+    rounds (joins + min aggregates, no per-node arrays) must label every
+    node with its component's min id. Oracles: pure-python union-find on a
+    seeded random graph (chains + stars + cliques + isolated pairs) AND a
+    DuckDB recursive-CTE transitive closure on a small graph."""
+    import duckdb
+
+    from cog3pio_spark.operators.dedupe import connected_components
+
+    rng = np.random.RandomState(23)
+    edges = set()
+    # chains (worst case for naive label propagation)
+    for c in range(3):
+        base = 1000 * c
+        for i in range(30):
+            edges.add((base + i, base + i + 1))
+    # star hubs (the boilerplate-cluster shape)
+    for h in (5000, 6000):
+        for i in range(1, 40):
+            edges.add((h, h + i))
+    # random clutter
+    for _ in range(120):
+        a, b = rng.randint(9000, 9200, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    nodes = sorted({n for e in edges for n in e})
+    expected = _union_find_components(edges, nodes)
+
+    df = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+    # DuckDB recursive-CTE closure as a second, SQL-engine oracle
+    small = sorted(edges)[:80]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(u BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", [list(x) for x in small])
+    sql = """
+        WITH RECURSIVE sym AS (
+            SELECT u, v FROM e UNION SELECT v, u FROM e
+        ), reach(a, b) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+        )
+        SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    """
+    duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    sdf = spark.createDataFrame(small, ["id_a", "id_b"])
+    got_small = {
+        r["id"]: r["component"] for r in connected_components(sdf).collect()
+    }
+    assert got_small == duck
+
+
+def test_dedupe_keep_list_end_to_end(dup_docs):
+    """keep-list closure over minhash pairs: every exact-dup cluster keeps
+    exactly its min id; docs in no pair keep themselves; near-dup 'c'
+    variants fold into their cluster when minhash pairs them."""
+    from cog3pio_spark.operators.dedupe import dedupe_keep_list, minhash_lsh_dupes
+
+    pairs = minhash_lsh_dupes(dup_docs, jaccard_threshold=0.7)
+    out = {r["id"]: r for r in dedupe_keep_list(dup_docs, pairs).collect()}
+    assert len(out) == dup_docs.count()
+    assert out["solo"]["keep"] and out["solo"]["component"] == "solo"
+    for c in range(3):
+        rep = f"d{c:03d}a"
+        assert out[rep]["keep"]
+        assert not out[f"d{c:03d}b"]["keep"]
+        assert out[f"d{c:03d}b"]["component"] == rep
+    kept = {k for k, r in out.items() if r["keep"]}
+    comps = {r["component"] for r in out.values()}
+    assert kept == comps  # exactly one keeper per component
