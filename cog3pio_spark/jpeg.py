@@ -112,8 +112,25 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Decode a baseline JPEG byte stream to a (bands, h, w) uint8 tensor
-    (bands = 1 gray, 3 YCbCr→RGB per the JFIF matrix)."""
+    """Decode a baseline or progressive JPEG byte stream to a (bands, h, w)
+    uint8 tensor (bands = 1 gray, 3 YCbCr→RGB per the JFIF matrix).
+
+    Every failure surfaces as :class:`JpegDecodeError` — truncated segments
+    and malformed tables raise struct/index errors internally, wrapped here
+    so the documented taxonomy holds (r4 review: a short SOF segment raised
+    a bare IndexError, which the operators' narrowed corrupt-input catches
+    correctly refuse to treat as data)."""
+    try:
+        return _decode_jpeg_stream(raw)
+    except JpegDecodeError:
+        raise
+    except (struct.error, IndexError, ZeroDivisionError, KeyError) as exc:
+        raise JpegDecodeError(
+            f"Cannot parse JPEG: truncated or corrupt ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_jpeg_stream(raw: bytes) -> np.ndarray:
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise JpegDecodeError("Cannot parse JPEG: missing SOI marker")
     pos = 2

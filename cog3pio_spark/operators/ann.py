@@ -775,8 +775,12 @@ def train_pq_codebooks(
         part = mat[:, j * sub : (j + 1) * sub]
         kk = min(k, len(part))
         cents = part[rng.choice(len(part), size=kk, replace=False)]
+        pn = (part**2).sum(axis=1, keepdims=True)
         for _ in range(iters):
-            d2 = ((part[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # |x−c|² = |x|² − 2x·c + |c|²: one BLAS matmul instead of a
+            # (sample, k, sub) broadcast temp per iteration (same argmin —
+            # pq_encode already scores with this expansion)
+            d2 = pn - 2.0 * part @ cents.T + (cents**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(kk):
                 members = part[assign == c]

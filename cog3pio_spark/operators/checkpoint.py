@@ -118,28 +118,35 @@ def write_checkpointed(
             # bloats the driver plan; the anti-join reads only footers of
             # still-pruned files and shuffles nothing (broadcast)
             written = written.join(F.broadcast(done), part_col, "left_anti")
-    metric_rows = written.groupBy(part_col).agg(F.count("*").alias("n_rows")).collect()
-    total_rows = sum(r["n_rows"] for r in metric_rows)
-    from pyspark.sql import types as T
-
-    manifest_schema = T.StructType(
-        [
-            T.StructField("part_key_done", key_type),
-            T.StructField("n_rows", T.LongType()),
-        ]
+    # manifest rows stay a DATAFRAME end-to-end (r4 review: the old shape
+    # collected one row per partition key to build the manifest — an
+    # unguarded O(keys) driver list at 10⁶ keys); only the 2-value totals
+    # aggregate ever reaches the driver. localCheckpoint: the aggregate
+    # (one thin row per key) has two consumers — the manifest append and
+    # the totals — so truncating lineage here keeps the written-data scan
+    # + done-key filter to ONE execution, not one per consumer.
+    metrics = (
+        written.groupBy(part_col)
+        .agg(F.count("*").alias("n_rows"))
+        .localCheckpoint(eager=True)
     )
     (
-        spark.createDataFrame(
-            [(r[part_col], r["n_rows"]) for r in metric_rows], manifest_schema
+        metrics.select(
+            F.col(part_col).cast(key_type).alias("part_key_done"),
+            F.col("n_rows").cast("long"),
         )
         .withColumn("completed_at", F.current_timestamp())  # metrics-only
         .write.mode("append")
         .parquet(manifest_path(base))
     )
+    tot = metrics.agg(
+        F.count("*").alias("k"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("r"),
+    ).collect()[0]
     return {
-        "written_keys": len(metric_rows),
+        "written_keys": int(tot["k"]),
         "skipped_keys": skipped,
-        "rows": total_rows,
+        "rows": int(tot["r"]),
     }
 
 

@@ -131,7 +131,14 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
 
                 try:
                     if raw[:2] in (b"II", b"MM"):
-                        px = CogReader(raw).to_numpy()
+                        try:
+                            px = CogReader(raw).to_numpy()
+                        except (IndexError, KeyError, ZeroDivisionError) as exc:
+                            # CogReader's tag walk is not self-wrapping the
+                            # way decode_jpeg/png/gif are (r4 review):
+                            # convert its corrupt-input crash classes here
+                            # so the outer tuple stays narrow
+                            raise ValueError(f"corrupt tiff: {exc!r}") from exc
                         feats.append(vec(px.astype(np.float64), _vmax(px)))
                         types.append("image/tiff;decoded")
                         continue
@@ -328,6 +335,15 @@ def _parse_wav(raw: bytes):
     if fmt is None or data is None:
         raise ValueError("Cannot parse audio: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if channels < 1 or sample_rate < 1:
+        # r4 review: a fmt chunk declaring channels=0 reached the
+        # len(arr)//channels reshape as a ZeroDivisionError — corrupt input
+        # must surface as the documented taxonomy, not a crash class the
+        # operators' narrowed catches refuse
+        raise ValueError(
+            f"Cannot parse audio: invalid fmt (channels={channels}, "
+            f"sample_rate={sample_rate})"
+        )
     key = (audio_format, bits)
     dtypes = {
         (1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
@@ -641,6 +657,8 @@ def _image_header_meta(raw: bytes) -> dict:
                 raise ValueError("Cannot parse image: JPEG marker expected")
             while pos < len(raw) and raw[pos] == 0xFF:
                 pos += 1
+            if pos >= len(raw):  # r4 review: fill bytes ran to EOF
+                break
             m = raw[pos]
             pos += 1
             if m == 0x01 or 0xD0 <= m <= 0xD9:
@@ -674,7 +692,10 @@ def _image_header_meta(raw: bytes) -> dict:
     if raw[:2] in (b"II", b"MM"):
         from cog3pio_spark.tiff.reader import CogReader
 
-        r = CogReader(raw)  # tag parse only; decode stays lazy
+        try:
+            r = CogReader(raw)  # tag parse only; decode stays lazy
+        except (IndexError, KeyError, ZeroDivisionError) as exc:
+            raise ValueError(f"Cannot parse image: corrupt tiff ({exc!r})") from exc
         return {"media_type": "image/tiff", "width": r.width,
                 "height": r.height, "bands": r.bands, "detail": r.dtype_name
                 if hasattr(r, "dtype_name") else str(r.dtype)}

@@ -72,7 +72,22 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
 
 def decode_png(raw: bytes) -> np.ndarray:
     """Decode a PNG byte stream to a (bands, h, w) uint8/uint16 tensor
-    (bands: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette expands to RGB)."""
+    (bands: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette expands to RGB).
+
+    Every failure surfaces as :class:`PngDecodeError` (r4: struct/index/
+    zlib errors from truncated chunks wrapped here, same contract as
+    decode_gif/decode_jpeg)."""
+    try:
+        return _decode_png_stream(raw)
+    except PngDecodeError:
+        raise
+    except (struct.error, IndexError, ZeroDivisionError, KeyError, zlib.error) as exc:
+        raise PngDecodeError(
+            f"Cannot parse PNG: truncated or corrupt ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_png_stream(raw: bytes) -> np.ndarray:
     if len(raw) < 8 or raw[:8] != _SIG:
         raise PngDecodeError("Cannot parse PNG: bad signature")
     pos = 8

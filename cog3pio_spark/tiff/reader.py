@@ -204,7 +204,11 @@ def http_range_fetcher(url: str):
     import urllib.error
     import urllib.request
 
+    full_body: list = []  # filled on the first 200 (Range-ignoring server)
+
     def fetch(off: int, n: int) -> bytes:
+        if full_body:
+            return full_body[0][off : off + n]
         req = urllib.request.Request(
             url, headers={"Range": f"bytes={off}-{off + n - 1}"}
         )
@@ -213,7 +217,12 @@ def http_range_fetcher(url: str):
                 body = resp.read()
                 if resp.status == 206:
                     return body
-                return body[off : off + n]  # Range ignored: whole-object 200
+                # Range ignored (200 + full object): cache the body so a
+                # windowed decode's MANY fetches cost ONE download, not one
+                # re-download per range (r4 review — otherwise strictly
+                # worse than the whole-object path this fetcher replaces)
+                full_body.append(body)
+                return body[off : off + n]
         except urllib.error.URLError as exc:
             raise TiffDecodeError(
                 f"Cannot fetch url: {url} ({getattr(exc, 'reason', exc)})"

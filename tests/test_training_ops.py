@@ -1058,3 +1058,54 @@ def test_dedupe_keep_list_end_to_end(dup_docs):
     kept = {k for k, r in out.items() if r["keep"]}
     comps = {r["component"] for r in out.values()}
     assert kept == comps  # exactly one keeper per component
+
+
+def test_corrupt_blobs_surface_as_error_rows_not_crashes(spark):
+    """r4 review: corrupt blobs that crash codec internals with
+    IndexError/ZeroDivisionError (a short SOF segment, a WAV fmt chunk
+    declaring channels=0, marker fill-bytes running to EOF) must come out
+    as error/byte-path rows through every operator surface — the decoders
+    wrap their own crash classes into the documented taxonomy, so the
+    operators' narrowed corrupt-input catches hold."""
+    from cog3pio_spark.gif import GifDecodeError, decode_gif  # noqa: F401
+    from cog3pio_spark.jpeg import JpegDecodeError, decode_jpeg
+    from cog3pio_spark.operators.multimodal import (
+        _image_header_meta,
+        _parse_wav,
+        audio_features,
+        audio_meta,
+        extract_features,
+        image_meta,
+    )
+    from cog3pio_spark.png import PngDecodeError, decode_png
+
+    short_sof = b"\xff\xd8\xff\xc0\x00\x02"  # SOF segment too short
+    with pytest.raises(JpegDecodeError, match="truncated or corrupt"):
+        decode_jpeg(short_sof)
+    with pytest.raises(PngDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IHDR\x00")
+    bad_wav = (
+        b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE"
+        + b"fmt " + b"\x10\x00\x00\x00"
+        + b"\x01\x00\x00\x00" + b"\x00" * 12  # channels = 0
+        + b"data" + b"\x04\x00\x00\x00" + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="invalid fmt"):
+        _parse_wav(bad_wav)
+    with pytest.raises(ValueError, match="Cannot parse image"):
+        _image_header_meta(b"\xff\xd8" + b"\xff" * 10)  # fill bytes to EOF
+
+    rows = [
+        ("sof", short_sof),
+        ("fill", b"\xff\xd8" + b"\xff" * 10),
+        ("wav0", bad_wav),
+        ("tiffjunk", b"II*\x00" + b"\x01" * 6),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    feats = {r["media_id"]: r["media_type"] for r in extract_features(df).collect()}
+    assert all(t == "raw-bytes" for t in feats.values()), feats
+    hdr = {r["media_id"]: r["status"] for r in image_meta(df).collect()}
+    assert hdr["sof"] == "error" and hdr["fill"] == "error"
+    ameta = {r["media_id"]: r["status"] for r in audio_meta(df).collect()}
+    assert ameta["wav0"] == "error"
+    assert audio_features(df).filter(F.col("media_id") == "wav0").count() == 0

@@ -189,6 +189,10 @@ def test_http_range_fetcher_degrades_on_200(tiled_file):
         np.testing.assert_array_equal(
             r.to_numpy(window=(5, 9, 40, 33)), arr[:, 9:33, 5:40]
         )
+        # r4 review: the 200 body is cached in the fetcher closure — the
+        # whole windowed decode (header + IFD + tiles) costs exactly ONE
+        # download, not one re-download per range call
+        assert len(srv.requests) == 1, srv.requests
     finally:
         srv.close()
 
