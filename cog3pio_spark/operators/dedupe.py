@@ -11,9 +11,10 @@
                        candidate pairing via 4-segment pigeonhole blocking.
 * ngram_jaccard      — exact n-gram Jaccard for a (small) candidate pair set.
 * embedding_dupes    — cosine near-dup over embedding vectors (see ann.py).
-* connected_components / dedupe_keep_list — cluster closure over the pair
-                       graph (alternating large-star/small-star, joins +
-                       min aggregates only) → per-doc keep/drop decisions.
+* connected_components / dedupe_keep_list / dedupe_corpus — cluster
+                       closure over the pair graph (alternating
+                       large-star/small-star, joins + min aggregates only)
+                       → per-doc keep/drop decisions → deduplicated corpus.
 
 MinHash math is vectorized numpy inside pandas_udfs (Arrow batches);
 everything else is built-in column functions.
@@ -577,4 +578,31 @@ def dedupe_keep_list(
             F.coalesce("component", F.col("id")).alias("component"),
             (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
         )
+    )
+
+
+def dedupe_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup deduplication: minhash-LSH pairs → connected
+    components → keep only each component's min-id representative.
+
+    Returns ``docs`` filtered to representatives (full rows, original
+    schema) via a left_semi join — the big table is never widened, and the
+    keep-set side is the (small) component label table. This is the
+    one-call composition of the documented contract chain:
+    pairs are edges up to exact-dup equivalence (minhash_lsh_dupes) →
+    closure is connected components → the dedup decision is id == min of
+    component."""
+    pairs = minhash_lsh_dupes(
+        docs, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+    )
+    keep = dedupe_keep_list(docs, pairs, id_col=id_col).filter(F.col("keep"))
+    return docs.join(
+        keep.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )

@@ -1109,3 +1109,19 @@ def test_corrupt_blobs_surface_as_error_rows_not_crashes(spark):
     ameta = {r["media_id"]: r["status"] for r in audio_meta(df).collect()}
     assert ameta["wav0"] == "error"
     assert audio_features(df).filter(F.col("media_id") == "wav0").count() == 0
+
+
+def test_dedupe_corpus_one_call(dup_docs):
+    """r4: the one-call pairs->components->filter composition keeps exactly
+    one representative (min id) per near-dup component plus all singletons,
+    preserving the input schema."""
+    from cog3pio_spark.operators.dedupe import dedupe_corpus
+
+    out = dedupe_corpus(dup_docs, jaccard_threshold=0.7)
+    assert out.columns == dup_docs.columns
+    kept = {r["doc_id"] for r in out.collect()}
+    assert "solo" in kept
+    for c in range(3):
+        assert f"d{c:03d}a" in kept           # representative
+        assert f"d{c:03d}b" not in kept       # exact dup folded
+    assert len(kept) < dup_docs.count()
