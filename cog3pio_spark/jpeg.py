@@ -124,7 +124,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         return _decode_jpeg_stream(raw)
     except JpegDecodeError:
         raise
-    except (struct.error, IndexError, ZeroDivisionError, KeyError) as exc:
+    except (struct.error, ValueError, IndexError, ZeroDivisionError, KeyError) as exc:
         raise JpegDecodeError(
             f"Cannot parse JPEG: truncated or corrupt ({type(exc).__name__})"
         ) from exc

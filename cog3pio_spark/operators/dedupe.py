@@ -606,3 +606,31 @@ def dedupe_corpus(
     return docs.join(
         keep.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    eval_fraction: float = 0.1,
+    seed: int = 9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, component, split) — train/eval assignment that can NEVER put
+    near-duplicates on opposite sides: the split key is the dedup
+    COMPONENT, not the document (classic eval-contamination fix — a doc
+    whose near-copy sits in train makes the eval row worthless). Hashing
+    the component label with a seeded xxhash64 keeps the split
+    deterministic, stable under repartitioning, and stable as new exact
+    copies join an existing component (the label is the min id, which only
+    changes if a smaller-id member appears). eval_fraction is the expected
+    COMPONENT fraction; the realized doc fraction tracks it when component
+    sizes are not pathologically skewed (the skew itself being what the
+    dedup pipeline upstream removes)."""
+    if not (0.0 <= eval_fraction <= 1.0):
+        raise ValueError(f"eval_fraction must be in [0, 1]: {eval_fraction}")
+    comp = dedupe_keep_list(docs, pairs, id_col=id_col).select("id", "component")
+    bucket = F.pmod(F.xxhash64(F.col("component"), F.lit(seed)), F.lit(1_000_000))
+    return comp.withColumn(
+        "split",
+        F.when(bucket < int(eval_fraction * 1_000_000), "eval").otherwise("train"),
+    )

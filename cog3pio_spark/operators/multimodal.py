@@ -328,6 +328,8 @@ def _parse_wav(raw: bytes):
         cid, size = raw[pos : pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # short chunk: struct.error is not taxonomy
+                raise ValueError("Cannot parse audio: truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -497,7 +499,20 @@ def _parse_mp4(raw: bytes) -> dict:
     box tree (ftyp brand, mvhd timescale/duration, tkhd track dimensions)
     with struct only — the video analogue of the WAV/TIFF in-repo codecs.
     Frame/sample DECODE stays out of scope (codec libraries absent); this
-    is the metadata a 100 TB curation pass filters on before any decode."""
+    is the metadata a 100 TB curation pass filters on before any decode.
+
+    Every malformed stream surfaces as ValueError (r4 fuzz: a box whose
+    declared size admits it but whose payload is too short for its fixed
+    fields raised struct.error — wrapped into the taxonomy here)."""
+    try:
+        return _parse_mp4_impl(raw)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(
+            f"Cannot parse video: truncated or corrupt ({type(exc).__name__})"
+        ) from exc
+
+
+def _parse_mp4_impl(raw: bytes) -> dict:
     import struct
 
     def boxes(buf, pos, end):

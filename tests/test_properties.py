@@ -278,3 +278,66 @@ def test_range_cache_reads_equal_byte_slices(size, block, reads, seed):
         if n < block:
             rc.read(off, n)
     assert rc.ranges == before
+
+
+# -- r4: corrupt-input taxonomy fuzz (binary parsers) -------------------------
+# The operators' narrowed catches rely on every parser/decoder surfacing
+# malformed input ONLY through its documented error family — arbitrary
+# bytes (including ones prefixed with valid magic numbers) must never
+# escape with a bare IndexError/ZeroDivisionError/KeyError/struct.error.
+
+_MAGICS = [
+    b"", b"\xff\xd8", b"\xff\xd8\xff\xc0", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+    b"II*\x00", b"MM\x00*", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE",
+    b"RIFF\x10\x00\x00\x00WEBP", b"\x00\x00\x00\x18ftypisom",
+    # directed chunk/box shells: the random tail lands INSIDE a declared
+    # fmt/moov/VP8L payload, exercising short-field struct paths
+    b"RIFF\x24\x00\x00\x00WAVEfmt \x02\x00\x00\x00",
+    b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00",
+    b"RIFF\x18\x00\x00\x00WEBPVP8L\x05\x00\x00\x00",
+    b"RIFF\x18\x00\x00\x00WEBPVP8 \x0c\x00\x00\x00",
+    b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x10moov",
+    b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00\x00\x00\x00\x20moov\x00\x00\x00\x0cmvhd",
+    b"\xff\xd8\xff\xdb\x00\x04",
+    b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR",
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    prefix=st.sampled_from(_MAGICS),
+    junk=st.binary(min_size=0, max_size=160),
+)
+def test_binary_parsers_error_taxonomy_fuzz(prefix, junk):
+    from cog3pio_spark.gif import GifDecodeError, decode_gif
+    from cog3pio_spark.jpeg import JpegDecodeError, decode_jpeg
+    from cog3pio_spark.operators.multimodal import (
+        _image_header_meta,
+        _parse_mp4,
+        _parse_wav,
+    )
+    from cog3pio_spark.png import PngDecodeError, decode_png
+    from cog3pio_spark.tiff.reader import CogReader, TiffDecodeError
+
+    raw = prefix + junk
+    for fn, allowed in (
+        (decode_jpeg, (JpegDecodeError,)),
+        (decode_png, (PngDecodeError,)),
+        (decode_gif, (GifDecodeError,)),
+        (_image_header_meta, (ValueError,)),
+        (_parse_wav, (ValueError,)),
+        (_parse_mp4, (ValueError,)),
+    ):
+        try:
+            fn(raw)
+        except allowed:
+            pass  # documented taxonomy (codec errors subclass ValueError)
+    try:
+        CogReader(raw)
+    except (TiffDecodeError, IndexError, KeyError, ZeroDivisionError,
+            ValueError):
+        # CogReader's tag walk is not fully self-wrapping (operators wrap
+        # its crash classes at call sites — see extract_features); the fuzz
+        # still pins that nothing OUTSIDE this set (e.g. a numpy
+        # shape/TypeError) ever escapes
+        pass

@@ -1125,3 +1125,39 @@ def test_dedupe_corpus_one_call(dup_docs):
         assert f"d{c:03d}a" in kept           # representative
         assert f"d{c:03d}b" not in kept       # exact dup folded
     assert len(kept) < dup_docs.count()
+
+
+def test_leakage_safe_split_components_never_straddle(spark, dup_docs):
+    """r4: the train/eval split keys on the dedup COMPONENT, so near-dup
+    clusters land whole on one side (no eval contamination), assignment is
+    deterministic across repartitioning, and the eval fraction tracks the
+    requested rate on a many-component corpus."""
+    from cog3pio_spark.operators.dedupe import (
+        leakage_safe_split,
+        minhash_lsh_dupes,
+    )
+
+    pairs = minhash_lsh_dupes(dup_docs, jaccard_threshold=0.7)
+    out = leakage_safe_split(dup_docs, pairs, eval_fraction=0.5).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), by_comp  # never straddle
+    # deterministic under physical layout changes
+    out2 = leakage_safe_split(
+        dup_docs.repartition(7), pairs, eval_fraction=0.5
+    ).collect()
+    assert {(r["id"], r["split"]) for r in out} == {
+        (r["id"], r["split"]) for r in out2
+    }
+    # fraction sanity on many singleton components
+    big = spark.createDataFrame(
+        [(f"x{i:04d}", f"unique text number {i}") for i in range(400)],
+        ["doc_id", "text"],
+    )
+    empty_pairs = spark.createDataFrame([], "id_a string, id_b string")
+    sp = leakage_safe_split(big, empty_pairs, eval_fraction=0.2).collect()
+    frac = sum(1 for r in sp if r["split"] == "eval") / len(sp)
+    assert 0.1 < frac < 0.3, frac
+    with pytest.raises(ValueError, match="eval_fraction"):
+        leakage_safe_split(big, empty_pairs, eval_fraction=1.5)
