@@ -8,6 +8,7 @@ driver's DuckDB gate checks values, not just shapes.
 * quality_score    — length / punctuation-ratio / stopword-ratio features
 * lang_id          — stopword-hit heuristic over a fixed marker table
 * fingerprint      — rolling/content hash for exact-dup detection
+* pack_sequences   — fixed token-budget pack assembly (hash buckets × FFD)
 """
 
 from __future__ import annotations
@@ -114,3 +115,81 @@ def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# -- sequence packing (r4) ----------------------------------------------------
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(id, n_tokens, pack_id, pack_tokens) — assemble documents into packs
+    of at most ``max_tokens`` total tokens (LLM-training sequence packing:
+    fixed-budget context windows assembled from whole documents).
+
+    Scale shape: docs hash into ``n_buckets`` independent buckets (salted
+    xxhash64 of the id — deterministic, layout-independent), and each
+    bucket packs locally with first-fit-decreasing inside ONE
+    applyInPandas group. Packing is embarrassingly parallel across
+    buckets; at 10¹² docs the knob is n_buckets (each bucket holds
+    ~corpus/n_buckets rows — size it so a bucket fits an Arrow batch).
+    FFD within a bucket wastes at most ~1/4 of the budget on typical doc
+    mixes, and cross-bucket waste is bounded by one non-full pack per
+    bucket — the price of not shuffling the corpus into a single ordered
+    stream.
+
+    Contract: every doc appears in exactly one pack; every pack's
+    pack_tokens ≤ max_tokens EXCEPT single-doc packs for oversize docs
+    (n_tokens > max_tokens), which come out flagged as their own pack with
+    pack_id suffix '-oversize' — the caller decides truncate/split/drop
+    (this operator never silently drops). Deterministic for fixed inputs
+    (seeded hash buckets; stable (tokens desc, id) order inside a bucket).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1: {max_tokens}")
+    import pandas as pd
+
+    sel = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(41)), F.lit(n_buckets))
+        .alias("_bucket"),
+    )
+
+    schema = (
+        "id string, n_tokens long, pack_id string, pack_tokens long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["_bucket"].iloc[0])
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        packs: list[tuple[int, list[int]]] = []  # (remaining, row indices)
+        out_pack = [""] * len(pdf)
+        oversize = 0
+        for i, (tok) in enumerate(pdf["n_tokens"]):
+            t = int(tok)
+            if t > max_tokens:
+                out_pack[i] = f"b{bucket}-o{oversize}-oversize"
+                oversize += 1
+                continue
+            for p_i, (rem, members) in enumerate(packs):
+                if t <= rem:
+                    members.append(i)
+                    packs[p_i] = (rem - t, members)
+                    break
+            else:
+                packs.append((max_tokens - t, [i]))
+        for p_i, (_, members) in enumerate(packs):
+            for i in members:
+                out_pack[i] = f"b{bucket}-p{p_i}"
+        pdf = pdf.assign(pack_id=out_pack)
+        totals = pdf.groupby("pack_id")["n_tokens"].transform("sum")
+        return pdf.assign(pack_tokens=totals)[
+            ["id", "n_tokens", "pack_id", "pack_tokens"]
+        ]
+
+    return sel.groupBy("_bucket").applyInPandas(_pack, schema)

@@ -1161,3 +1161,46 @@ def test_leakage_safe_split_components_never_straddle(spark, dup_docs):
     assert 0.1 < frac < 0.3, frac
     with pytest.raises(ValueError, match="eval_fraction"):
         leakage_safe_split(big, empty_pairs, eval_fraction=1.5)
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    """r4: sequence packing — every doc lands in exactly one pack, no pack
+    exceeds the token budget (oversize docs isolate into flagged
+    single-doc packs), FFD efficiency beats the 2x-waste bound, and
+    assignment is deterministic under repartitioning."""
+    from cog3pio_spark.operators.text import pack_sequences
+
+    rng = np.random.RandomState(31)
+    rows = [(f"d{i:04d}", int(t)) for i, t in
+            enumerate(rng.randint(50, 900, size=500))]
+    rows += [("huge0", 5000), ("huge1", 2049)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(docs, max_tokens=2048, n_buckets=8).collect()
+
+    assert len(out) == len(rows)  # exactly-once coverage
+    assert {r["id"] for r in out} == {r[0] for r in rows}
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(r["n_tokens"] for r in members)
+        assert all(r["pack_tokens"] == total for r in members)
+        if pid.endswith("-oversize"):
+            assert len(members) == 1 and total > 2048
+        else:
+            assert total <= 2048, (pid, total)
+    # FFD efficiency: pack count within 1.6x of the ideal lower bound
+    # (+ one slack pack per bucket)
+    normal_tokens = sum(t for _, t in rows if t <= 2048)
+    ideal = -(-normal_tokens // 2048)
+    n_packs = len([p for p in by_pack if not p.endswith("-oversize")])
+    assert n_packs <= ideal * 1.6 + 8, (n_packs, ideal)
+    # deterministic under layout changes
+    out2 = pack_sequences(
+        docs.repartition(13), max_tokens=2048, n_buckets=8
+    ).collect()
+    assert {(r["id"], r["pack_id"]) for r in out} == {
+        (r["id"], r["pack_id"]) for r in out2
+    }
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(docs, max_tokens=0)
