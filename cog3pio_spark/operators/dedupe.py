@@ -542,12 +542,21 @@ def connected_components(
         )
 
     sig = _signature(edges)
+    converged = False
     for _ in range(max_iters):
         edges = _round(_round(edges, large=True), large=False)
         new_sig = _signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # loud, never silent: unconverged labels would under-merge
+        # components and leak near-dups through the keep-list
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(edge signature still changing) — raise max_iters"
+        )
     # after convergence every edge points node → its component min (depth-1
     # stars, symmetrized): component(u) = min neighbor when < u, else u
     labels = (

@@ -194,3 +194,50 @@ def test_jpeg_truncated_in_padding_and_marker_bounds():
     honest taxonomy error, never IndexError."""
     with pytest.raises(JpegDecodeError, match="truncated in marker padding"):
         decode_jpeg(b"\xff\xd8\xff\xff")
+
+
+def test_progressive_restart_interval_segments():
+    """Direct unit test of the progressive restart branch (no encoder in
+    the Java writer emits DRI in progressive mode, so this path gets a
+    hand-built scan): a 2-block DC-first scan with restart_interval=1 must
+    pull a fresh entropy segment at the block boundary and reset the DC
+    predictor; a missing restart segment raises the truncation error."""
+    import numpy as np
+
+    from cog3pio_spark.jpeg import (
+        _build_huffman,
+        _decode_one_progressive_scan,
+    )
+
+    # Huffman table: symbol 2 with the single 1-bit code '0' (t=2 bits of
+    # diff follow each code)
+    tbl = _build_huffman([1] + [0] * 15, bytes([2]))
+    frame = {"h": 8, "w": 16, "comps": [
+        {"id": 1, "h": 1, "v": 1, "tq": 0}], "progressive": True}
+    by_id = {1: frame["comps"][0]}
+    coefs = {1: np.zeros((1, 2, 64), dtype=np.int32)}
+    # each segment: code '0' (1 bit) + diff bits '11' (= 3) → byte 0b01100000
+    scan = {
+        "comps": [{"id": 1, "dc": 0, "ac": 0}],
+        "segments": [bytes([0b01100000]), bytes([0b01100000])],
+        "ss": 0, "se": 0, "ah": 0, "al": 0,
+        "htables": {(0, 0): tbl}, "ri": 1,
+    }
+    _decode_one_progressive_scan(scan, frame, by_id, coefs, 2, 1, 1, 1)
+    # predictor RESET at the restart: both blocks hold DC=3, not 3 then 6
+    assert coefs[1][0, 0, 0] == 3 and coefs[1][0, 1, 0] == 3
+
+    # without the second segment the restart must fail loudly
+    from cog3pio_spark.jpeg import JpegDecodeError
+    import pytest as _pytest
+
+    coefs2 = {1: np.zeros((1, 2, 64), dtype=np.int32)}
+    scan2 = dict(scan, segments=[bytes([0b01100000])])
+    with _pytest.raises(JpegDecodeError, match="missing restart segment"):
+        _decode_one_progressive_scan(scan2, frame, by_id, coefs2, 2, 1, 1, 1)
+
+    # same scan WITHOUT restarts accumulates the predictor (3 then 6)
+    coefs3 = {1: np.zeros((1, 2, 64), dtype=np.int32)}
+    scan3 = dict(scan, ri=0, segments=[bytes([0b01101100])])  # two units
+    _decode_one_progressive_scan(scan3, frame, by_id, coefs3, 2, 1, 1, 1)
+    assert coefs3[1][0, 0, 0] == 3 and coefs3[1][0, 1, 0] == 6
