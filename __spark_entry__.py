@@ -631,15 +631,21 @@ def q48_ivf2_topk(spark, sf):
 
 
 def q49_resize_media(spark, sf):
-    """Real TIFF resize over the fixture COGs via binaryFile scan +
-    mapInPandas (rows-only: binary payloads; pixel exactness pinned in
-    tests/test_training_ops.py::test_resize_media_real_tiff)."""
+    """Real media resize via binaryFile scan + mapInPandas, across ALL four
+    pixel-decodable codecs (r4: formerly TIFF-only in the gate): the
+    fixture COGs plus the committed JPEG (baseline + progressive), PNG and
+    GIF interop fixtures each decode → pixel-center NN resample → TIFF
+    re-encode. Rows-only: binary payloads; per-pixel exactness pinned in
+    tests/test_training_ops.py::test_resize_media_real_tiff and
+    tests/test_{jpeg,png,gif}.py operator-integration tests. Grouped by
+    (codec, status) so the driver row pins per-codec success counts."""
     from cog3pio_spark.fixtures.cogs import ensure_fixtures
     from cog3pio_spark.operators.multimodal import resize_media
 
     rows = ensure_fixtures()
     fdir = os.path.dirname(rows[0]["media_ref"].replace("file://", ""))
-    blobs = (
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    tif = (
         spark.read.format("binaryFile")
         .load(fdir + "/*.tif")
         .select(
@@ -647,11 +653,24 @@ def q49_resize_media(spark, sf):
             F.col("content").alias("blob"),
         )
     )
+    extra = spark.createDataFrame(
+        [
+            (name, open(os.path.join(data_dir, name), "rb").read())
+            for name in (
+                "java_gray.jpg", "java_rgb420.jpg", "java_gray_prog.jpg",
+                "java_gray.png", "java_rgba.png", "java_indexed.gif",
+            )
+        ],
+        ["media_id", "blob"],
+    )
+    blobs = tif.unionByName(extra)
     return (
         resize_media(blobs, 16, 16)
-        .groupBy("status")
+        .groupBy(
+            F.regexp_extract("media_id", r"\.(\w+)$", 1).alias("codec"), "status"
+        )
         .agg(F.count("*").alias("n"), F.count("resized").alias("n_payloads"))
-        .orderBy("status")
+        .orderBy("codec", "status")
     )
 
 
