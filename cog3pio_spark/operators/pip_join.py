@@ -31,17 +31,34 @@ from pyspark.sql import types as T
 
 
 GRID_THRESHOLD = 256  # dense bbox mask below, grid index above
+MAX_BROADCAST_POLYGONS = 2_000_000  # pack ≈ vertices × 16 B + grid; guard
 
 
-def pack_polygons(polygons: DataFrame) -> dict:
+def pack_polygons(polygons: DataFrame, max_polygons: int = MAX_BROADCAST_POLYGONS) -> dict:
     """Collect + pack the polygon layer into flat numpy arrays (driver-side).
 
     Pack layout: ids list, ring vertex arrays (concatenated) + offsets, bbox
     arrays, and — for layers above GRID_THRESHOLD polygons — a uniform grid
     index in CSR form (cell → candidate polygon ids), the vectorized
     equivalent of an STRtree level. Suitable for a Spark broadcast.
+
+    The polygon layer is the SMALL side by contract (a broadcast PIP join);
+    ``max_polygons`` guards the driver-side collect with a bounded
+    ``limit(max+1).count()`` probe — same convention as the other guarded
+    collects (top_cosine_pairs, PQ query batches; r4 census) — so an
+    accidentally-huge layer errors loudly instead of OOMing the driver.
+    The alternative at that scale is partitioning the polygon layer and
+    running pip_join per sub-layer (union the outputs: PIP is disjoint-safe).
     """
     has_holes = "holes" in polygons.columns
+    n = polygons.limit(max_polygons + 1).count()
+    if n > max_polygons:
+        raise ValueError(
+            f"polygon layer exceeds max_polygons={max_polygons}: pip_join "
+            f"broadcasts the packed layer to every task (small-side "
+            f"contract). Split the layer and union pip_join outputs, or "
+            f"raise max_polygons= explicitly."
+        )
     cols = ["polygon_id", "ring", "bbox"] + (["holes"] if has_holes else [])
     rows = polygons.select(*cols).collect()
     ids, xs, ys, offs, eok = [], [], [], [0], []

@@ -381,3 +381,17 @@ def test_decode_tiles_range_read_window(spark, tmp_path):
     full = decode_tiles(refs, window=win).collect()[0]
     assert full["fetched_bytes"] is None
     assert full["mean"] == out["mean"] and full["pixel_sha256"] == out["pixel_sha256"]
+
+
+def test_pip_join_polygon_guard(spark):
+    """r4 collect-census: the broadcast polygon pack refuses an oversized
+    layer BEFORE collecting (bounded probe), directing callers to split."""
+    import pytest as _pytest
+
+    from cog3pio_spark.fixtures.polygons import polygons_df
+    from cog3pio_spark.operators.pip_join import pack_polygons
+
+    polys = polygons_df(spark, 16)
+    with _pytest.raises(ValueError, match="max_polygons"):
+        pack_polygons(polys, max_polygons=4)
+    assert len(pack_polygons(polys)["ids"]) == 16  # normal path unchanged
