@@ -51,16 +51,19 @@ def pack_polygons(polygons: DataFrame, max_polygons: int = MAX_BROADCAST_POLYGON
     running pip_join per sub-layer (union the outputs: PIP is disjoint-safe).
     """
     has_holes = "holes" in polygons.columns
-    n = polygons.limit(max_polygons + 1).count()
-    if n > max_polygons:
+    cols = ["polygon_id", "ring", "bbox"] + (["holes"] if has_holes else [])
+    # take(max+1) IS the guarded collect: the driver materializes at most
+    # max+1 rows (never the full oversized layer), and the in-bounds case
+    # costs exactly the one job the unguarded collect() cost — no separate
+    # probe job in the flagship's timed path
+    rows = polygons.select(*cols).take(max_polygons + 1)
+    if len(rows) > max_polygons:
         raise ValueError(
             f"polygon layer exceeds max_polygons={max_polygons}: pip_join "
             f"broadcasts the packed layer to every task (small-side "
             f"contract). Split the layer and union pip_join outputs, or "
             f"raise max_polygons= explicitly."
         )
-    cols = ["polygon_id", "ring", "bbox"] + (["holes"] if has_holes else [])
-    rows = polygons.select(*cols).collect()
     ids, xs, ys, offs, eok = [], [], [], [0], []
     bxmin, bymin, bxmax, bymax = [], [], [], []
     for r in rows:
