@@ -230,16 +230,38 @@ def cover_bbox(
     ``res``, enumerate the integer axial bounding box (lattice points of the
     corner hull), then keep cells whose centers land inside the original
     bbox. Exact for face-local bboxes (tiles are tiny vs a cube face); a
-    bbox spanning faces is clipped to the face of its center (documented
-    engine limitation, same family as ring truncation).
+    bbox spanning faces is clipped to the face of its CENTER (documented
+    engine limitation, same family as ring truncation). r4 fix: every
+    corner is gnomonically projected onto the center's face frame and
+    clamped to the face extent — the old code projected each corner onto
+    its OWN face but read the (u,v) in the first corner's frame, so a
+    face-straddling bbox produced a garbage axial extent (and, through
+    cover_bbox_compact's fallback, a silent single-cell 'covering').
     """
     from cog3pio_spark.cells import s2 as _s2
+
+    clat_c = np.array([(lat0 + lat1) / 2.0])
+    clng_c = np.array([(lng0 + lng1) / 2.0])
+    xc, yc, zc = _s2.latlng_to_xyz(clat_c, clng_c)
+    cface = int(_s2.xyz_to_face_uv(xc, yc, zc)[0][0])
 
     corners_lat = np.array([lat0, lat0, lat1, lat1])
     corners_lng = np.array([lng0, lng1, lng0, lng1])
     x, y, z = _s2.latlng_to_xyz(corners_lat, corners_lng)
-    face, u, v = _s2.xyz_to_face_uv(x, y, z)
-    cface = face[0]
+    # gnomonic (u,v) of each corner IN cface's frame (inverse of the
+    # face→xyz mapping below), clamped to the face extent [-1, 1]
+    _INV = [  # face → (s, uu, vv): u = uu/s, v = vv/s
+        lambda x, y, z: (x, y, z),
+        lambda x, y, z: (y, -x, z),
+        lambda x, y, z: (z, -x, -y),
+        lambda x, y, z: (-x, -z, -y),
+        lambda x, y, z: (-y, -z, x),
+        lambda x, y, z: (-z, y, x),
+    ]
+    s, uu, vv = _INV[cface](x, y, z)
+    s = np.maximum(s, 1e-12)  # corners past the hemisphere clip to the rim
+    u = np.clip(uu / s, -1.0, 1.0)
+    v = np.clip(vv / s, -1.0, 1.0)
     pt = np.stack([u, v]) / _RES0_SIZE
     ax = _M[res] @ (_BASIS_INV @ pt)  # fractional axial of corners
     q_lo, q_hi = int(np.floor(ax[0].min())) - 1, int(np.ceil(ax[0].max())) + 1

@@ -105,21 +105,28 @@ def knn_sort_merge(
     """
     from functools import reduce
 
-    from cog3pio_spark.functions import cells as C
-
+    # _cell is the UNSIGNED curve key: s2_cell's int64 carrier stores uint64
+    # ids two's-complement, so sorting the signed value directly would place
+    # faces 4-5 before 0-3 — an artificial seam at the face 3|4 boundary
+    # where true neighbors land outside every ±scan_width frame (r4 review;
+    # functions/cells.py calls the signed order cosmetic, but THIS operator
+    # relies on curve adjacency). XOR with the sign bit maps signed order to
+    # uint order. ``cuts=`` hints are in this same flipped keyspace (any
+    # monotone cut set is CORRECT regardless — cuts only shape buckets).
+    sign_flip = F.lit(-(1 << 63))
     q = queries.select(
         F.col(query_id).alias("_id"),
         F.lit(True).alias("_is_q"),
         "lat",
         "lng",
-        C.s2_cell(F.col("lat"), F.col("lng"), 30).alias("_cell"),
+        C.s2_cell(F.col("lat"), F.col("lng"), 30).bitwiseXOR(sign_flip).alias("_cell"),
     )
     p = points.select(
         F.col(point_id).alias("_id"),
         F.lit(False).alias("_is_q"),
         "lat",
         "lng",
-        C.s2_cell(F.col("lat"), F.col("lng"), 30).alias("_cell"),
+        C.s2_cell(F.col("lat"), F.col("lng"), 30).bitwiseXOR(sign_flip).alias("_cell"),
     )
     # Materialize the (id, is_q, lat, lng, cell) union ONCE: the bucket
     # count, the quantile cuts, the ghost branches and the window otherwise
@@ -148,7 +155,10 @@ def knn_sort_merge(
             cuts = both.stat.approxQuantile(
                 "_cell", [i / n_buckets for i in range(1, n_buckets)], 1.0 / (10 * n_buckets)
             )
-    cuts = sorted({int(c) for c in cuts}) if cuts else []
+    # clamp: approxQuantile returns float64 and float(2^63-1) rounds UP to
+    # 2^63, which overflows F.lit's long conversion (r4 review)
+    int64_max = (1 << 63) - 1
+    cuts = sorted({min(int(c), int64_max) for c in cuts}) if cuts else []
     if cuts:
         bucket_expr = reduce(
             lambda acc, ic: F.when(F.col("_cell") <= F.lit(ic[1]), ic[0]).otherwise(acc),
@@ -254,17 +264,26 @@ def ring_exactness_bound(cell, ring: int):
         # face is constant, so pairwise angles are valid)
         x, y, z = 1.0 / norm, u / norm, v / norm
         xyz = np.stack([x, y, z], axis=1).reshape(n, 7, 3)
-        center = xyz[:, :1, :]
-        cosang = np.clip((xyz[:, 1:, :] * center).sum(axis=2), -1, 1)
-        d = np.arccos(cosang) * EARTH_RADIUS_M  # (n, 6) neighbour distances
-        d_min, d_max = d.min(axis=1), d.max(axis=1)
+        # the SELF cell sits wherever k_ring's lexicographic delta
+        # enumeration puts (0,0) — locate it by id, never by position (r4
+        # review: assuming index 0 measured 'neighbour' spacing from a ring
+        # cell, halving d_min and collapsing the bound ~8x — still sound,
+        # but almost nothing could be certified)
+        self_mask = ring1 == arr[:, None]  # (n, 7)
+        center = xyz[
+            np.arange(n), self_mask.argmax(axis=1)
+        ][:, None, :]
+        cosang = np.clip((xyz * center).sum(axis=2), -1, 1)
+        d = np.arccos(cosang) * EARTH_RADIUS_M  # (n, 7) incl. self
+        d = np.where(self_mask, np.nan, d)  # drop the zero self-distance
+        d_min, d_max = np.nanmin(d, axis=1), np.nanmax(d, axis=1)
         ring_b = (1 + ring) * d_min - 1.4 * d_max
         # face-edge cap: in face-local coords the four edges are the great
         # circles y=±x, z=±x; the center's arc distance to the nearest is
         # asin((x - max(|y|,|z|)) / √2). Subtract the circumradius slack so
         # any cross-face point (which the ring cannot cover) is provably
         # farther than the capped bound.
-        cx, cy, cz = xyz[:, 0, 0], xyz[:, 0, 1], xyz[:, 0, 2]
+        cx, cy, cz = center[:, 0, 0], center[:, 0, 1], center[:, 0, 2]
         s = (cx - np.maximum(np.abs(cy), np.abs(cz))) / np.sqrt(2.0)
         edge_b = np.arcsin(np.clip(s, 0.0, 1.0)) * EARTH_RADIUS_M - 1.4 * d_max
         return pd.Series(np.maximum(0.0, np.minimum(ring_b, edge_b)))
@@ -374,6 +393,12 @@ def knn_join(
 
     if not with_certificate:
         return out
+    # out contains the brute crossJoin tail and feeds TWO branches below
+    # (the kth aggregate and the cert base) — checkpoint so the full-points
+    # brute pass executes once, not per consumer (r4 review; same pattern
+    # as the phase results above). Only in the certificate path: the plain
+    # return above has a single consumer.
+    out = out.localCheckpoint(eager=True)
     # Exactness certificate: brute-forced queries are exact by construction;
     # ring-served queries are exact when their k-th distance is provably
     # inside the ring coverage (ring_exactness_bound). Conservative: a

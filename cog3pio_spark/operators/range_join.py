@@ -37,8 +37,18 @@ def cell_prefix_range_join(
 
     Returns probe columns + the matching range row's columns.
     """
+    # salt hashes the WHOLE probe row, not just the cell value (r4 review:
+    # a cell-value salt sends every row of one hot cell id — a sentinel
+    # location, a dominant tile — to a single (prefix, salt) bucket,
+    # defeating the salting for duplicate-VALUE skew while the build side
+    # still pays the n_salt-fold explode). Rows identical in every column
+    # still collide, but those are true duplicates; deterministic (no rand)
+    # so resume/goldens reproduce.
     p = probe.withColumn("_prefix", C.s2_parent(F.col(cell_col), prefix_level)).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_salt)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salt)
+        ).cast("int"),
     )
     # A range spanning the face 3|4 boundary flips sign in the signed-int64
     # carrier (lo > hi as signed), which would break both sequence() and the

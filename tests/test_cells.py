@@ -113,3 +113,24 @@ class TestCompactionNumpy:
         kids = h3x.children(base).ravel()  # complete sets by construction
         parents = np.unique(h3x.parent(kids))
         assert np.array_equal(np.sort(parents), np.sort(base))
+
+
+def test_cover_bbox_face_straddling_clips_to_center_face():
+    """r4 review: a bbox straddling an S2 face edge used to produce a
+    garbage axial extent (corners projected onto their OWN faces but read
+    in corner 0's frame) and, through cover_bbox_compact's fallback, a
+    silent single-cell covering. Now every corner projects onto the
+    CENTER's face and clamps to the face rim: the straddling covering is
+    comparable to the same-size in-face covering (the documented clip can
+    only trim the out-of-face sliver)."""
+    import numpy as np
+
+    from cog3pio_spark.cells import h3x
+
+    straddle = h3x.cover_bbox_compact(10.0, -45.4, 10.6, -44.6)
+    in_face = h3x.cover_bbox_compact(10.0, -40.4, 10.6, -39.6)
+    assert len(straddle) >= len(in_face) * 0.5, (len(straddle), len(in_face))
+    assert len(straddle) > 10  # never the 1-cell fallback
+    # all covering cells live on the center's face
+    faces = set(h3x.cell_center_uv(np.asarray(straddle))[0].tolist())
+    assert len(faces) == 1

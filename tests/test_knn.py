@@ -186,3 +186,66 @@ def test_sparse_queries_fall_back(spark, clustered):
     assert {(r["rank"], r["point_id"]) for r in out} == {
         (r["rank"], r["point_id"]) for r in brute
     }
+
+
+def test_certificate_completeness_on_clustered(spark):
+    """r4 review: ring_exactness_bound located the ring CENTER by array
+    position (it sits at k_ring's (0,0) delta index, not index 0), which
+    collapsed the bound ~8x and left almost every provably-exact
+    ring-served query uncertified. Completeness pin: on a dense cluster
+    with small k, a solid majority of ring-served queries must certify;
+    soundness stays pinned by test_exactness_certificate_* (no false
+    certificates)."""
+    from cog3pio_spark.operators.knn import knn_brute, knn_join
+
+    rng = np.random.RandomState(47)
+    lat = 40.0 + rng.rand(600) * 0.08
+    lng = 7.0 + rng.rand(600) * 0.08
+    points = spark.createDataFrame(
+        [(i, float(lat[i]), float(lng[i])) for i in range(600)],
+        ["point_id", "lat", "lng"],
+    )
+    queries = points.filter(F.col("point_id") % 40 == 0).withColumnRenamed(
+        "point_id", "query_id"
+    )
+    out = knn_join(queries, points, k=3, res=7, ring=2, with_certificate=True)
+    rows = out.collect()
+    certified = {r["query_id"] for r in rows if r["exact"]}
+    allq = {r["query_id"] for r in rows}
+    assert len(certified) >= len(allq) * 0.6, (len(certified), len(allq))
+    # certified results really are exact
+    brute = knn_brute(queries, points, k=3)
+    exact = {
+        (r["query_id"], r["rank"], r["point_id"]) for r in brute.collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["point_id"])
+        for r in rows
+        if r["query_id"] in certified
+    }
+    assert got <= exact
+
+
+def test_sort_merge_face_seam_parity(spark):
+    """r4 review: ordering by the SIGNED cell carrier put faces 4-5 before
+    0-3, inserting an artificial curve seam at the face 3|4 boundary
+    (lng ~ -135) where cross-face neighbors fell outside every scan frame.
+    With the unsigned curve key, a corpus straddling that boundary matches
+    brute force at covering scan_width."""
+    from cog3pio_spark.operators.knn import knn_brute, knn_sort_merge
+
+    rng = np.random.RandomState(53)
+    lat = -0.04 + rng.rand(400) * 0.08
+    lng = -135.06 + rng.rand(400) * 0.12  # straddles lng=-135 (face 3|4)
+    points = spark.createDataFrame(
+        [(i, float(lat[i]), float(lng[i])) for i in range(400)],
+        ["point_id", "lat", "lng"],
+    )
+    queries = points.filter(F.col("point_id") % 25 == 0).withColumnRenamed(
+        "point_id", "query_id"
+    )
+    sm = knn_sort_merge(queries, points, k=3, scan_width=512)
+    bf = knn_brute(queries, points, k=3)
+    a = {(r["query_id"], r["rank"], r["point_id"]) for r in sm.collect()}
+    b = {(r["query_id"], r["rank"], r["point_id"]) for r in bf.collect()}
+    assert a == b
