@@ -123,6 +123,15 @@ def _decode_one(
     )
 
     row: dict = {k.name: None for k in _ARROW_SCHEMA}
+    if not ref:
+        # null/empty ref (a malformed doc's media span can carry one): a
+        # taxonomy error row, not a TypeError-text row with a null in the
+        # non-nullable media_ref column (r4 review). "" keeps the declared
+        # non-null contract; such a row can never equi-join back anyway.
+        row["media_ref"] = ""
+        row["status"] = "error"
+        row["error_msg"] = "Cannot parse url: null or empty media_ref"
+        return row
     row["media_ref"] = ref
     try:
         scheme = ref.split("://", 1)[0] if "://" in ref else "file"
@@ -177,10 +186,23 @@ def _decode_one(
     row["pixel_sha256"] = hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
     try:
         tr = reader.transform()
-        row["a"], row["b"], row["c"], row["d"], row["e"], row["f"] = tr.as_tuple()
-        # tile centroid in world coordinates (pixel-center contract)
-        row["centroid_x"] = tr.c + tr.a * (reader.width / 2.0)
-        row["centroid_y"] = tr.f + tr.e * (reader.height / 2.0)
+        # windowed decode: translate the affine origin to the WINDOW's
+        # upper-left pixel so a..f georeference the returned array and the
+        # centroid describes the window, not the full image (r4 review:
+        # assignment/PIP consumed full-image centroids for window rows)
+        if window is not None:
+            wx0 = max(0, window[0])
+            wy0 = max(0, window[1])
+            c0 = tr.c + tr.a * wx0 + tr.b * wy0
+            f0 = tr.f + tr.d * wx0 + tr.e * wy0
+        else:
+            c0, f0 = tr.c, tr.f
+        row["a"], row["b"], row["c"] = tr.a, tr.b, c0
+        row["d"], row["e"], row["f"] = tr.d, tr.e, f0
+        # centroid in world coordinates over the DECODED extent
+        # (pixel-center contract; b=d=0 — transform() rejects rotation)
+        row["centroid_x"] = c0 + tr.a * (arr.shape[2] / 2.0)
+        row["centroid_y"] = f0 + tr.e * (arr.shape[1] / 2.0)
     except Exception:
         pass  # non-geo tiff: stats-only row
     if include_pixels:

@@ -93,13 +93,15 @@ def first_seen_media_refs(
     state_schema = T.StructType([T.StructField("seen", T.LongType())])
 
     def handler(key, pdfs, state: GroupState):
+        if state.exists:
+            # already emitted: NO state write (r4 review — accumulating a
+            # never-read running count paid a state-store write for the
+            # hottest refs in every micro-batch, pure dead churn on exactly
+            # the Zipf keys that dominate batches)
+            return iter(())
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-        if state.exists:
-            (seen,) = state.get
-            state.update((seen + n,))
-            return iter(())  # already emitted
         state.update((n,))
         yield pd.DataFrame({"media_ref": [key[0]], "first_batch_rows": [n]})
 

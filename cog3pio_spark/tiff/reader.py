@@ -318,7 +318,10 @@ class CogReader:
         return r
 
     def _bind_image(self, image_index: int) -> None:
-        if image_index >= len(self.ifds):
+        # both bounds: a negative index would silently bind the DEEPEST
+        # pyramid level via Python list indexing (r4 review: overview=-1
+        # returned ok rows at the wrong resolution)
+        if image_index < 0 or image_index >= len(self.ifds):
             raise TiffDecodeError(
                 f"Image index {image_index} out of range: file has "
                 f"{len(self.ifds)} image(s)"
@@ -342,6 +345,16 @@ class CogReader:
         if self.predictor not in (1, 2):
             raise TiffDecodeError(
                 f"unsupported error: predictor {self.predictor} is unsupported"
+            )
+        # PlanarConfiguration 2 (band-sequential — legal, produced by
+        # libtiff/GDAL) would decode SCRAMBLED through the chunky-only
+        # reshape (r4 review: status='ok' rows with wrong pixels, the one
+        # thing the error channel exists to prevent) — refuse loudly
+        planar = int(t.get(W.PLANAR_CONFIG, [1])[0])
+        if planar != 1:
+            raise TiffDecodeError(
+                f"unsupported error: planar configuration {planar} is "
+                f"unsupported (chunky/interleaved only)"
             )
 
         # Band count from color type — src/io/geotiff.rs:67-83
@@ -461,10 +474,23 @@ class CogReader:
             th = int(t[W.TILE_LENGTH][0])
             offs, counts = t[W.TILE_OFFSETS], t[W.TILE_BYTE_COUNTS]
             tiles_x = (self.width + tw - 1) // tw
+            if self.bands != self.samples:  # corrupt band/sample mismatch
+                raise TiffDecodeError(
+                    f"failed to convert vector of size "
+                    f"{self.samples * self.height * self.width} to shape "
+                    f"[{self.bands}, {self.height}, {self.width}]"
+                )
             # assemble band-major DIRECTLY: per-tile transposes are
             # cache-resident, while one whole-image strided moveaxis copy
-            # measured 2.8 s on a 362 MB image (decode_bench profile)
-            out = np.zeros((self.samples, self.height, self.width), self.dtype)
+            # measured 2.8 s on a 362 MB image (decode_bench profile).
+            # The buffer is sized to the WINDOW when one is given (r4
+            # review: a full-image zeros for an 8×8 window of a 10⁵×10⁵
+            # COG allocated ~60 GB — the range-read path saved the IO but
+            # not the memory).
+            if window is not None:
+                out = np.zeros((self.samples, wy1 - wy0, wx1 - wx0), self.dtype)
+            else:
+                out = np.zeros((self.samples, self.height, self.width), self.dtype)
             for idx, (off, cnt) in enumerate(zip(offs, counts)):
                 ty, tx = divmod(idx, tiles_x)
                 y0, x0 = ty * th, tx * tw
@@ -479,21 +505,33 @@ class CogReader:
                 tile = self._unpredict(tile.reshape(th, tw, self.samples))
                 h = min(th, self.height - y0)
                 w = min(tw, self.width - x0)
-                out[:, y0 : y0 + h, x0 : x0 + w] = np.moveaxis(
-                    tile[:h, :w, :], -1, 0
-                )
-            if self.bands != self.samples:  # corrupt band/sample mismatch
-                raise TiffDecodeError(
-                    f"failed to convert vector of size "
-                    f"{out.size} to shape [{self.bands}, {self.height}, {self.width}]"
-                )
-            if window is not None:
-                return np.ascontiguousarray(out[:, wy0:wy1, wx0:wx1])
+                if window is None:
+                    out[:, y0 : y0 + h, x0 : x0 + w] = np.moveaxis(
+                        tile[:h, :w, :], -1, 0
+                    )
+                else:  # tile ∩ window, written at window-relative offsets
+                    iy0, iy1 = max(y0, wy0), min(y0 + h, wy1)
+                    ix0, ix1 = max(x0, wx0), min(x0 + w, wx1)
+                    out[:, iy0 - wy0 : iy1 - wy0, ix0 - wx0 : ix1 - wx0] = (
+                        np.moveaxis(
+                            tile[iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0, :],
+                            -1, 0,
+                        )
+                    )
             return out
         else:
             offs, counts = t[W.STRIP_OFFSETS], t[W.STRIP_BYTE_COUNTS]
             rows_per_strip = int(t.get(W.ROWS_PER_STRIP, [self.height])[0])
             if window is not None:
+                if self.bands != self.samples:
+                    # same guard as the tiled/full paths (r4 review: the
+                    # windowed strip branch returned a (samples, h, w)
+                    # tensor for files every other path rejects)
+                    raise TiffDecodeError(
+                        f"failed to convert vector of size "
+                        f"{self.samples * self.height * self.width} to shape "
+                        f"[{self.bands}, {self.height}, {self.width}]"
+                    )
                 s_lo = wy0 // rows_per_strip
                 s_hi = (wy1 - 1) // rows_per_strip
                 strip_bytes = rows_per_strip * self.width * self.samples * self.dtype.itemsize

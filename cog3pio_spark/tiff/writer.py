@@ -141,16 +141,19 @@ def _hdiff(chunk: np.ndarray) -> np.ndarray:
     return wide.astype(chunk.dtype)
 
 
-def _entries_bytes(tag: int, typ: int, values: list, extra: list) -> bytes:
-    """Serialize one IFD entry; spill >4-byte payloads into ``extra``."""
+def _entries_bytes(tag: int, typ: int, values: list) -> tuple[bytes, bytes | None]:
+    """Serialize one IFD entry → (entry head, spill payload or None).
+
+    Inline (≤4-byte) values return a full 12-byte entry and None; larger
+    payloads return the 8-byte head (offset appended at patch time) plus
+    the payload EXPLICITLY — the old b'OFF?' sentinel inside the value
+    slot could collide with a legitimate inline payload equal to those
+    bytes (r4 review: e.g. a single LONG strip offset of 0x3F46464F)."""
     count = len(values)
     payload = struct.pack("<" + _TYPE_FMT[typ] * count, *values)
     if len(payload) <= 4:
-        payload = payload.ljust(4, b"\x00")
-        return struct.pack("<HHI", tag, typ, count) + payload
-    extra.append((tag, typ, count, payload))
-    # offset patched later; store placeholder index in the entry
-    return struct.pack("<HHI", tag, typ, count) + b"OFF?"
+        return struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\x00"), None
+    return struct.pack("<HHI", tag, typ, count), payload
 
 
 def write_tiff(
@@ -296,6 +299,9 @@ def _image_section(
                 tile[: block.shape[0], : block.shape[1], :] = block
                 chunks.append(compress(tile))
     else:
+        # ONE definition: the ROWS_PER_STRIP tag below reuses this variable
+        # (r4 review: a duplicated expression could silently diverge from
+        # the actual strip layout, shifting rows on decode)
         rows_per_strip = max(1, min(height, 8))
         for sy in range(0, height, rows_per_strip):
             chunks.append(compress(chunky[sy : sy + rows_per_strip]))
@@ -307,11 +313,10 @@ def _image_section(
         cursor += len(c)
     ifd_offset = cursor + (cursor % 2)  # word-align IFD (absolute)
 
-    extra: list[tuple[int, int, int, bytes]] = []
-    entries: list[bytes] = []
+    entries: list[tuple[bytes, bytes | None]] = []
 
     def add(tag, typ, values):
-        entries.append(_entries_bytes(tag, typ, list(values), extra))
+        entries.append(_entries_bytes(tag, typ, list(values)))
 
     add(IMAGE_WIDTH, _TYPE_LONG, [width])
     add(IMAGE_LENGTH, _TYPE_LONG, [height])
@@ -328,7 +333,7 @@ def _image_section(
     else:
         add(STRIP_OFFSETS, _TYPE_LONG, offsets)
         add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
-        add(ROWS_PER_STRIP, _TYPE_LONG, [max(1, min(height, 8))])
+        add(ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
         add(STRIP_BYTE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
     if tiled:
         add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
@@ -345,28 +350,27 @@ def _image_section(
         add(MODEL_TRANSFORMATION, _TYPE_DOUBLE, list(model_transformation))
 
     # entries must be sorted by tag id per spec
-    entries_sorted = sorted(entries, key=lambda e: struct.unpack("<H", e[:2])[0])
+    entries_sorted = sorted(entries, key=lambda e: struct.unpack("<H", e[0][:2])[0])
     ifd_head = struct.pack("<H", len(entries_sorted))
-    ifd_body = b"".join(entries_sorted)
     ifd_tail = struct.pack("<I", 0)  # next-IFD pointer; patched by caller
-    extra_start = ifd_offset + len(ifd_head) + len(ifd_body) + len(ifd_tail)
+    # every entry serializes to exactly 12 bytes (8-byte head + 4-byte
+    # value/offset slot)
+    ifd_body_len = 12 * len(entries_sorted)
+    extra_start = ifd_offset + len(ifd_head) + ifd_body_len + len(ifd_tail)
 
-    # patch spilled-value offsets (absolute) in entry order of appearance
+    # append spilled-value offsets (absolute) in entry order of appearance
     patched, extra_cursor, extra_blob = [], extra_start, b""
-    for e in entries_sorted:
-        if e.endswith(b"OFF?"):
-            tag, typ, count, payload = next(
-                s for s in extra if struct.pack("<HHI", s[0], s[1], s[2]) == e[:8]
-            )
-            patched.append(e[:8] + struct.pack("<I", extra_cursor))
+    for head, payload in entries_sorted:
+        if payload is None:
+            patched.append(head)  # complete 12-byte inline entry
+        else:
+            patched.append(head + struct.pack("<I", extra_cursor))
             extra_blob += payload
             extra_cursor += len(payload)
-        else:
-            patched.append(e)
 
     blob = b"".join(chunks)
     if cursor % 2:
         blob += b"\x00"
-    next_ptr_pos_rel = (ifd_offset - base) + len(ifd_head) + len(ifd_body)
+    next_ptr_pos_rel = (ifd_offset - base) + len(ifd_head) + ifd_body_len
     blob += ifd_head + b"".join(patched) + ifd_tail + extra_blob
     return blob, ifd_offset - base, next_ptr_pos_rel

@@ -230,3 +230,75 @@ def test_http_range_fetcher_error_taxonomy():
     fetch = http_range_fetcher("http://127.0.0.1:9/t.tif")  # port 9: discard
     with pytest.raises(TiffDecodeError, match="Cannot fetch url"):
         fetch(0, 8)
+
+
+def test_windowed_decode_affine_and_centroid(spark, tiled_file):
+    """r4 review: windowed decode_tiles rows used to carry the FULL image's
+    centroid and untranslated affine while height/width/stats described the
+    window — spatial assignment downstream would place the window at the
+    wrong location. The affine origin now translates to the window's
+    upper-left pixel and the centroid describes the decoded extent."""
+    import struct as _struct
+
+    from cog3pio_spark.operators.decode import decode_tiles
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        arr = (np.arange(3 * 40 * 50) % 251).reshape(3, 40, 50).astype(np.uint8)
+        p = os.path.join(td, "geo.tif")
+        write_tiff(p, arr, tiled=True, tile_size=16,
+                   pixel_scale=(0.5, 0.25), tiepoint=(0, 0, 0, 100.0, 60.0, 0))
+        refs = spark.createDataFrame([("file://" + p,)], ["media_ref"])
+
+        full = decode_tiles(refs).collect()[0]
+        win = decode_tiles(refs, window=(8, 4, 24, 12)).collect()[0]
+        assert win["status"] == "ok" and (win["width"], win["height"]) == (16, 8)
+        # affine translated by (8, 4) pixels: c' = c + a*8, f' = f + e*4
+        assert abs(win["c"] - (full["c"] + full["a"] * 8)) < 1e-12
+        assert abs(win["f"] - (full["f"] + full["e"] * 4)) < 1e-12
+        # centroid = window's world center, NOT the image's
+        assert abs(win["centroid_x"] - (win["c"] + win["a"] * 8.0)) < 1e-12
+        assert abs(win["centroid_y"] - (win["f"] + win["e"] * 4.0)) < 1e-12
+        assert abs(win["centroid_x"] - full["centroid_x"]) > 1.0
+
+        # negative overview: error row, never a silent deepest-level decode
+        bad = decode_tiles(refs, overview=-1).collect()[0]
+        assert bad["status"] == "error" and "out of range" in bad["error_msg"]
+
+        # null/empty media_ref: taxonomy error row (non-null column kept)
+        nulls = spark.createDataFrame([(None,), ("",)], "media_ref string")
+        rows = decode_tiles(nulls).collect()
+        assert all(r["status"] == "error" for r in rows)
+        assert all("null or empty media_ref" in r["error_msg"] for r in rows)
+        assert all(r["media_ref"] == "" for r in rows)
+
+
+def test_planar_and_extra_sample_guards(tiled_file):
+    """r4 review: PlanarConfiguration=2 (band-sequential) used to decode
+    SCRAMBLED with status ok; an RGB-tagged 4-sample file used to decode
+    through the windowed strip path that every other path rejects."""
+    import struct as _struct
+
+    from cog3pio_spark.tiff.writer import write_tiff
+    import io as _io
+
+    buf = _io.BytesIO()
+    write_tiff(buf, (np.arange(300) % 250).reshape(1, 15, 20).astype(np.uint8))
+    raw = bytearray(buf.getvalue())
+    head = _struct.pack("<HHI", 284, 3, 1)  # PlanarConfiguration entry
+    i = raw.find(head)
+    assert i > 0
+    raw[i + 8 : i + 10] = _struct.pack("<H", 2)  # chunky -> planar
+    with pytest.raises(TiffDecodeError, match="planar configuration 2"):
+        CogReader(bytes(raw))
+
+    # RGB-tagged 4-sample: windowed strip decode must reject like full
+    buf2 = _io.BytesIO()
+    write_tiff(buf2, np.zeros((4, 10, 12), np.uint8), photometric=2)
+    r = CogReader(buf2.getvalue())
+    with pytest.raises(TiffDecodeError, match="failed to convert"):
+        r.to_numpy()
+    with pytest.raises(TiffDecodeError, match="failed to convert"):
+        r.to_numpy(window=(0, 0, 4, 4))
