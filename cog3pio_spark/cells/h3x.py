@@ -123,12 +123,24 @@ def _unpack(cell: np.ndarray):
 # ---------------------------------------------------------------------------
 def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     """Vectorized lat/lng (deg) → hex cell id at resolution ``res``."""
+    return latlng_to_cells_multi(lat_deg, lng_deg, [res])[:, 0]
+
+
+def latlng_to_cells_multi(lat_deg, lng_deg, res_list: list[int]) -> np.ndarray:
+    """(n, len(res_list)) hex ids — ONE lat→xyz→face/(u,v) projection shared
+    across resolutions (face/u/v are resolution-invariant; only the 2×2
+    lattice transform differs per res). r4: the multi-res assignment UDF
+    used to redo the projection trig per resolution."""
     x, y, z = s2.latlng_to_xyz(lat_deg, lng_deg)
     face, u, v = s2.xyz_to_face_uv(x, y, z)
-    pt = np.stack([u, v]) / _RES0_SIZE          # (2, n) world in res-0 units
-    ax = _M[res] @ (_BASIS_INV @ pt)            # fractional axial at res
-    q, r = _cube_round(ax[0], ax[1])
-    return _pack(np.full(q.shape, res, np.int64), face, q, r)
+    base = np.stack([u, v]) / _RES0_SIZE        # (2, n) world in res-0 units
+    base = _BASIS_INV @ base                    # res-invariant lattice frame
+    cols = []
+    for res in res_list:
+        ax = _M[res] @ base                     # fractional axial at res
+        q, r = _cube_round(ax[0], ax[1])
+        cols.append(_pack(np.full(q.shape, res, np.int64), face, q, r))
+    return np.stack(cols, axis=1)
 
 
 def cell_center_uv(cell: np.ndarray):
@@ -280,17 +292,9 @@ def cover_bbox(
     )
     # keep centers inside the bbox (in lat/lng space)
     f, cu, cv = cell_center_uv(cells)
-    # face uv → xyz → latlng (reuse s2 face mapping)
-    one = np.ones_like(cu)
-    mapping = [
-        lambda u, v: (one, u, v),
-        lambda u, v: (-u, one, v),
-        lambda u, v: (-u, -v, one),
-        lambda u, v: (-one, -v, -u),
-        lambda u, v: (v, -one, -u),
-        lambda u, v: (v, u, -one),
-    ]
-    xs, ys, zs = mapping[int(cface)](cu, cv)
+    # face uv → xyz → latlng through the SHARED forward mapping (r4: the
+    # 6-lambda table was duplicated here verbatim)
+    xs, ys, zs = _s2.face_uv_to_xyz(np.full(cu.shape, cface, np.int64), cu, cv)
     norm = np.sqrt(xs * xs + ys * ys + zs * zs)
     clat = np.degrees(np.arcsin(zs / norm))
     clng = np.degrees(np.arctan2(ys, xs))

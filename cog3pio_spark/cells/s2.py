@@ -68,6 +68,18 @@ def latlng_to_xyz(lat_deg: np.ndarray, lng_deg: np.ndarray):
     return cos_lat * np.cos(lng), cos_lat * np.sin(lng), np.sin(lat)
 
 
+# face → ((u_num, u_den), (v_num, v_den)) as index/sign pairs over (x, y, z):
+# u = sign_u * axes[u_num] / axes[u_den]
+_FACE_UV_EXPR = [
+    ((1, 1, 0), (2, 1, 0)),    # face 0 (+x): u =  y/x, v =  z/x
+    ((0, -1, 1), (2, 1, 1)),   # face 1 (+y): u = -x/y, v =  z/y
+    ((0, -1, 2), (1, -1, 2)),  # face 2 (+z): u = -x/z, v = -y/z
+    ((2, 1, 0), (1, 1, 0)),    # face 3 (-x): u =  z/x, v =  y/x
+    ((2, 1, 1), (0, -1, 1)),   # face 4 (-y): u =  z/y, v = -x/y
+    ((1, -1, 2), (0, -1, 2)),  # face 5 (-z): u = -y/z, v = -x/z
+]
+
+
 def xyz_to_face_uv(x, y, z):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
@@ -75,21 +87,16 @@ def xyz_to_face_uv(x, y, z):
     face = np.where(major < 0, face + 3, face).astype(np.int64)
     u = np.empty_like(x)
     v = np.empty_like(x)
-    for f, (uex, vex) in enumerate(
-        [
-            (lambda: y / x, lambda: z / x),          # face 0 (+x)
-            (lambda: -x / y, lambda: z / y),         # face 1 (+y)
-            (lambda: -x / z, lambda: -y / z),        # face 2 (+z)
-            (lambda: z / x, lambda: y / x),          # face 3 (-x)
-            (lambda: z / y, lambda: -x / y),         # face 4 (-y)
-            (lambda: -y / z, lambda: -x / z),        # face 5 (-z)
-        ]
-    ):
+    axes = (x, y, z)
+    for f, ((un, us, ud), (vn, vs, vd)) in enumerate(_FACE_UV_EXPR):
         m = face == f
         if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = uex()[m]
-                v[m] = vex()[m]
+            # divide the MASKED operands only (r4 review: evaluating every
+            # face's expression over the full arrays did ~12 full-length
+            # divisions per call in the hot cell-assignment path)
+            den = axes[ud][m]
+            u[m] = us * axes[un][m] / den
+            v[m] = vs * axes[vn][m] / den
     return face, u, v
 
 
@@ -219,8 +226,19 @@ def cell_center_latlng(cell_id: np.ndarray):
     si = (i_base.astype(np.float64) + cell_span.astype(np.float64) * 0.5) / float(1 << MAX_LEVEL)
     tj = (j_base.astype(np.float64) + cell_span.astype(np.float64) * 0.5) / float(1 << MAX_LEVEL)
     u, v = uv_from_st(si), uv_from_st(tj)
+    x, y, z = face_uv_to_xyz(face, u, v)
+    norm = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / norm))
+    lng = np.degrees(np.arctan2(y, x))
+    return lat, lng
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Unnormalized (x, y, z) for points in a face's (u, v) frame — THE
+    forward face mapping (inverse of :func:`xyz_to_face_uv`), hoisted so
+    every consumer (cell centers here, h3x bbox covering) shares one table
+    (r4 review: the 6-lambda mapping was duplicated verbatim in h3x)."""
     one = np.ones_like(u)
-    # unnormalized face_uv→xyz mapping (inverse of xyz_to_face_uv)
     x = np.empty_like(u)
     y = np.empty_like(u)
     z = np.empty_like(u)
@@ -237,10 +255,7 @@ def cell_center_latlng(cell_id: np.ndarray):
         if m.any():
             xf, yf, zf = fn(u, v)
             x[m], y[m], z[m] = xf[m], yf[m], zf[m]
-    norm = np.sqrt(x * x + y * y + z * z)
-    lat = np.degrees(np.arcsin(z / norm))
-    lng = np.degrees(np.arctan2(y, x))
-    return lat, lng
+    return x, y, z
 
 
 def compact_np(cell_ids: np.ndarray) -> np.ndarray:

@@ -25,11 +25,29 @@ from cog3pio_spark.cells import h3x as _h3x
 from cog3pio_spark.cells import s2 as _s2
 
 
+def _coords_or_null(la: pd.Series, ln: pd.Series):
+    """(lat, lng, null_mask): Arrow delivers null doubles as NaN, and a NaN
+    fed to the int casts inside the cell kernels produced a VALID-LOOKING
+    cell id (platform-dependent, clipped to a face corner) — null
+    coordinates must come out as null cells, never as a real spatial key
+    (r4 review: null-centroid rows silently joined into face-2's corner)."""
+    lat_np = la.to_numpy(np.float64)
+    lng_np = ln.to_numpy(np.float64)
+    mask = np.isnan(lat_np) | np.isnan(lng_np)
+    if mask.any():
+        lat_np = np.where(mask, 0.0, lat_np)
+        lng_np = np.where(mask, 0.0, lng_np)
+    return lat_np, lng_np, mask
+
+
 def s2_cell(lat: Column, lng: Column, level: int) -> Column:
     @pandas_udf(T.LongType())
     def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
-        ids = _s2.latlng_to_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), level)
-        return pd.Series(_s2.to_signed(ids))
+        lat_np, lng_np, mask = _coords_or_null(la, ln)
+        ids = _s2.to_signed(_s2.latlng_to_cell(lat_np, lng_np, level))
+        if mask.any():
+            return pd.Series(ids).astype("Int64").mask(mask)
+        return pd.Series(ids)
 
     return _u(lat, lng)
 
@@ -63,9 +81,11 @@ def s2_parent(cell: Column, level: int) -> Column:
 def h3x_cell(lat: Column, lng: Column, res: int) -> Column:
     @pandas_udf(T.LongType())
     def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
-        return pd.Series(
-            _h3x.latlng_to_cell(la.to_numpy(np.float64), ln.to_numpy(np.float64), res)
-        )
+        lat_np, lng_np, mask = _coords_or_null(la, ln)
+        ids = _h3x.latlng_to_cell(lat_np, lng_np, res)
+        if mask.any():
+            return pd.Series(ids).astype("Int64").mask(mask)
+        return pd.Series(ids)
 
     return _u(lat, lng)
 
@@ -94,12 +114,18 @@ def h3x_multi_res(lat: Column, lng: Column, res_lo: int = 5, res_hi: int = 12) -
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _u(la: pd.Series, ln: pd.Series) -> pd.Series:
-        lat_np = la.to_numpy(np.float64)
-        lng_np = ln.to_numpy(np.float64)
-        cols = [
-            _h3x.latlng_to_cell(lat_np, lng_np, r) for r in range(res_lo, res_hi + 1)
-        ]
-        stacked = np.stack(cols, axis=1)
-        return pd.Series(list(stacked))
+        lat_np, lng_np, mask = _coords_or_null(la, ln)
+        # one projection for ALL resolutions: face/(u,v) are
+        # resolution-invariant, so the lat→xyz→face trig runs once and only
+        # the per-res lattice transform repeats (r4 review: the hottest
+        # per-tile path redid the projection 8x)
+        stacked = _h3x.latlng_to_cells_multi(
+            lat_np, lng_np, list(range(res_lo, res_hi + 1))
+        )
+        out: list = list(stacked)
+        if mask.any():
+            for i in np.nonzero(mask)[0]:
+                out[i] = None
+        return pd.Series(out, dtype=object)
 
     return _u(lat, lng)

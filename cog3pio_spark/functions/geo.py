@@ -37,18 +37,26 @@ def x_coords_expr(a, c, width) -> Column:
     Equals np.linspace(c + a/2, c + a/2 + a*w, w, endpoint=False) — the
     reference golden (python/tests/test_io_geotiff.py:141-169).
     """
-    return F.transform(
-        F.sequence(F.lit(0), width.cast("int") - 1),
-        lambda i: c + a * (i.cast("double") + F.lit(0.5)),
-    )
+    # width=0 guard (r4 review): sequence(0, -1) infers step -1 and emits
+    # [0, -1] — two bogus coordinates instead of the documented empty axis
+    return F.when(
+        width.cast("int") > 0,
+        F.transform(
+            F.sequence(F.lit(0), width.cast("int") - 1),
+            lambda i: c + a * (i.cast("double") + F.lit(0.5)),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
 
 
 def y_coords_expr(e, f, height) -> Column:
     """Half-open pixel-center y-axis (descending when e<0)."""
-    return F.transform(
-        F.sequence(F.lit(0), height.cast("int") - 1),
-        lambda i: f + e * (i.cast("double") + F.lit(0.5)),
-    )
+    return F.when(
+        height.cast("int") > 0,
+        F.transform(
+            F.sequence(F.lit(0), height.cast("int") - 1),
+            lambda i: f + e * (i.cast("double") + F.lit(0.5)),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
 
 
 def world_to_lat(y_m) -> Column:

@@ -68,7 +68,14 @@ def compact_cells(
     remaining = cells.select(F.col(cell_col).alias("cell")).distinct()
     out_parts = []
     for res in range(res_hi, res_lo, -1):
-        with_parent = remaining.withColumn("parent", C.h3x_parent(F.col("cell"), res - 1))
+        # localCheckpoint: with_parent feeds TWO branches (counts + anti-join)
+        # across 7 chained iterations — without truncation each final-union
+        # branch re-embeds every earlier iteration's parent-UDF + shuffle
+        # (r4 review: ~2x per downstream iteration; ReusedExchange is
+        # fragile under column pruning per CLAUDE.md)
+        with_parent = remaining.withColumn(
+            "parent", C.h3x_parent(F.col("cell"), res - 1)
+        ).localCheckpoint(eager=True)
         counts = with_parent.groupBy("parent").agg(F.count("*").alias("n"))
         full = counts.filter(F.col("n") == 7).select(F.col("parent"))
         # children of full parents are replaced by the parent at res-1
@@ -100,14 +107,17 @@ def uncompact_cells(cells: DataFrame, target_res: int, cell_col: str = "cell") -
         out: list = [None] * len(arr)
         # vectorized per resolution group: expand all same-res cells together
         for r in np.unique(res):
+            if int(r) > int(target_res):
+                # r4 review: silently passing finer cells through would mix
+                # resolutions in the 'uniform target_res' output contract
+                raise ValueError(
+                    f"uncompact_cells: input cell at res {int(r)} is finer "
+                    f"than target_res {int(target_res)}"
+                )
             idx = np.nonzero(res == r)[0]
-            cur = arr[idx]  # (n,)
-            width = 1
+            cur = arr[idx].reshape(len(idx), 1)
             for _ in range(int(target_res) - int(r)):
                 cur = h3x.children(cur.ravel()).reshape(len(idx), -1)
-                width *= 7
-                cur = cur.reshape(len(idx), width)
-            cur = cur.reshape(len(idx), -1)
             for j, i in enumerate(idx.tolist()):
                 out[i] = cur[j]
         return pd.Series(out)
@@ -140,7 +150,11 @@ def tile_covering(
     ) -> pd.Series:
         out = []
         for ci, fi, ai, ei, wi, hi in zip(c, f, a, e, w, hgt):
-            if ci is None or ai is None:
+            # pd.isna, not `is None`: Arrow delivers nulls in double/long
+            # Series as NaN (r4 review — the old guard never fired, so null
+            # affine rows produced garbage single-cell coverings via the
+            # NaN→int cast in the degenerate fallback)
+            if any(pd.isna(x) for x in (ci, fi, ai, ei, wi, hi)):
                 out.append(None)
                 continue
             x0, x1 = float(ci), float(ci) + float(ai) * int(wi)

@@ -21,9 +21,12 @@ from pyspark.sql import types as T
 def partition_metrics(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """One row per physical partition: (partition_id, n_rows, key_lo, key_hi).
 
-    Uses applyInPandas grouped on spark_partition_id — each group is exactly
-    one partition's data, so min/max are true partition key ranges (useful to
-    verify repartitionByRange produced contiguous, balanced cell ranges).
+    Uses mapInPandas with the task's partitionId — EVERY physical partition
+    emits exactly one row, including EMPTY ones (r4 review: the former
+    groupBy(spark_partition_id) shape produced no group — hence no row —
+    for empty partitions, hiding exactly the imbalance this function exists
+    to surface). min/max are true partition key ranges (useful to verify
+    repartitionByRange produced contiguous, balanced cell ranges).
     """
     schema = T.StructType(
         [
@@ -36,24 +39,31 @@ def partition_metrics(df: DataFrame, key_col: str | None = None) -> DataFrame:
     )
     kc = key_col
 
-    def one_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["_pid"].iloc[0])
-        body = pdf.drop(columns=["_pid"])
-        return pd.DataFrame(
+    def per_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        approx = 0
+        lo = hi = None
+        for pdf in batches:
+            n += len(pdf)
+            approx += int(pdf.memory_usage(deep=True).sum())
+            if kc and len(pdf):
+                blo, bhi = pdf[kc].min(), pdf[kc].max()
+                lo = blo if lo is None else min(lo, blo)
+                hi = bhi if hi is None else max(hi, bhi)
+        yield pd.DataFrame(
             {
                 "partition_id": [pid],
-                "n_rows": [len(body)],
-                "approx_bytes": [int(body.memory_usage(deep=True).sum())],
-                "key_lo": [str(body[kc].min()) if kc and len(body) else None],
-                "key_hi": [str(body[kc].max()) if kc and len(body) else None],
+                "n_rows": [n],
+                "approx_bytes": [approx],
+                "key_lo": [str(lo) if lo is not None else None],
+                "key_hi": [str(hi) if hi is not None else None],
             }
         )
 
-    return (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .applyInPandas(one_partition, schema)
-    )
+    return df.mapInPandas(per_partition, schema)
 
 
 def golden_compare(actual: DataFrame, golden: DataFrame) -> dict:

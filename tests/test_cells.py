@@ -134,3 +134,84 @@ def test_cover_bbox_face_straddling_clips_to_center_face():
     # all covering cells live on the center's face
     faces = set(h3x.cell_center_uv(np.asarray(straddle))[0].tolist())
     assert len(faces) == 1
+
+
+def test_null_coords_yield_null_cells(spark):
+    """r4 review: NaN lat/lng used to cast to a VALID-LOOKING cell id
+    (platform-dependent face-corner cell), silently joining null-coordinate
+    rows into real spatial cells. Null coords now produce null cells across
+    all three assignment UDFs."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.functions import cells as C
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, 20.0), (3, 10.0, None), (4, None, None)],
+        "id long, lat double, lng double",
+    )
+    out = df.select(
+        "id",
+        C.s2_cell(F.col("lat"), F.col("lng"), 12).alias("s2"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 8).alias("hx"),
+        C.h3x_multi_res(F.col("lat"), F.col("lng"), 5, 7).alias("multi"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["s2"] is not None and by_id[1]["hx"] is not None
+    assert len(by_id[1]["multi"]) == 3
+    for i in (2, 3, 4):
+        assert by_id[i]["s2"] is None, i
+        assert by_id[i]["hx"] is None, i
+        assert by_id[i]["multi"] is None, i
+
+
+def test_uncompact_rejects_finer_than_target(spark):
+    """r4 review: cells finer than target_res used to pass through
+    unchanged, silently mixing resolutions in the uniform-res contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cog3pio_spark.cells import h3x
+    from cog3pio_spark.operators.assign import uncompact_cells
+
+    fine = h3x.latlng_to_cell(np.array([10.0]), np.array([20.0]), 9)
+    df = spark.createDataFrame([(int(fine[0]),)], ["cell"])
+    with _pytest.raises(Exception, match="finer"):
+        uncompact_cells(df, target_res=8).collect()
+
+
+def test_tile_covering_null_affine_rows(spark):
+    """r4 review: Arrow delivers null doubles as NaN, so the old `is None`
+    guard never fired and null-affine rows got garbage single-cell
+    coverings; they now produce null coverings."""
+    from cog3pio_spark.operators.assign import tile_covering
+
+    df = spark.createDataFrame(
+        [
+            ("ok", 100.0, 60.0, 0.5, -0.5, 16, 16),
+            ("no_geo", None, None, None, None, 16, 16),
+        ],
+        "media_ref string, c double, f double, a double, e double, "
+        "width int, height int",
+    )
+    rows = {r["media_ref"]: r["covering_cells"] for r in tile_covering(df).collect()}
+    assert rows["ok"] is not None and len(rows["ok"]) > 0
+    assert rows["no_geo"] is None
+
+
+def test_x_coords_zero_width(spark):
+    """r4 review: sequence(0, -1) inferred step -1 and emitted [0, -1] —
+    two bogus coordinates for width=0 instead of the documented empty axis."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.functions import geo as G
+
+    df = spark.createDataFrame([(0,), (3,)], ["w"])
+    out = {
+        r["w"]: r["xs"]
+        for r in df.select(
+            "w",
+            G.x_coords_expr(F.lit(2.0), F.lit(10.0), F.col("w")).alias("xs"),
+        ).collect()
+    }
+    assert out[0] == []
+    assert out[3] == [11.0, 13.0, 15.0]

@@ -75,3 +75,15 @@ class TestPyramid:
         p, _ = pyr_path
         with pytest.raises(TiffDecodeError, match="out of range"):
             CogReader(open(p, "rb").read(), image_index=4)
+
+
+def test_partition_metrics_includes_empty_partitions(spark):
+    """r4 review: the groupBy(spark_partition_id) shape emitted NO row for
+    empty partitions — hiding exactly the imbalance signal this function
+    exists to surface. mapInPandas emits one row per physical partition."""
+    df = spark.range(10).repartition(8)  # some partitions may be empty; force:
+    skewed = spark.createDataFrame([(1,)] * 20, ["v"]).repartition(6, "v")
+    m = {r["partition_id"]: r["n_rows"] for r in partition_metrics(skewed).collect()}
+    assert len(m) == 6  # EVERY partition reports, empty ones included
+    assert sum(m.values()) == 20
+    assert 0 in set(m.values())  # the skew put everything on one partition
