@@ -197,6 +197,7 @@ def top_cosine_pairs_blocked(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Globally top-N most-similar pairs via multi-table LSH blocking — the
     scale path for ``top_cosine_pairs`` (VERDICT r1 #6: the exact variant is
@@ -233,6 +234,7 @@ def top_cosine_pairs_blocked(
         id_col=id_col,
         vec_col=vec_col,
         per_bucket_top_n=top_n,
+        n_rows=n_rows,
     )
     # global cut: orderBy().limit() plans as TakeOrderedAndProject (parallel
     # partial top-N per partition + driver merge), never a 1-task window
@@ -252,6 +254,7 @@ def _lsh_blocked_pairs(
     threshold: float | None = None,
     bucket_cap: int = 4096,
     seed: int = 101,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Shared multi-table LSH pair kernel (q47/q51 machinery): every vector
     lands in ``n_tables`` independent hyperplane buckets; per (table, bucket)
@@ -272,7 +275,11 @@ def _lsh_blocked_pairs(
     if (per_bucket_top_n is None) == (threshold is None):
         raise ValueError("set exactly one of per_bucket_top_n / threshold")
     if n_planes is None:
-        n_rows = vectors.count()
+        # n_rows stat hint skips the implicit O(n) count (r4 review: same
+        # contract embedding_dupes gained in ADVICE r3 — order-of-magnitude
+        # accuracy suffices for a plane count)
+        if n_rows is None:
+            n_rows = vectors.count()
         n_planes = min(30, max(2, int(np.ceil(np.log2(max(2.0, n_rows / 256.0))))))
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, n_tables * n_planes)
@@ -432,12 +439,7 @@ def lsh_topk(
         probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(mk)) for mk in masks])
         q = q.withColumn("bucket", F.explode(probes))
 
-    @pandas_udf(T.DoubleType())
-    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = _normalize(np.vstack(a.to_numpy()))
-        mb = _normalize(np.vstack(b.to_numpy()))
-        return pd.Series((ma * mb).sum(axis=1))
-
+    cosine = cosine_pairs_udf()  # shared helper (r4: was a verbatim copy)
     cand = F.broadcast(
         q.select(F.col(query_id_col), F.col("bucket"), F.col(vec_col).alias("_qv"))
     ).join(v.select(id_col, "bucket", vec_col), "bucket")
@@ -617,7 +619,6 @@ def ivf2_topk(
     coarse, fine = train_ivf2_centroids(
         vectors, dim, n_coarse, n_fine, vec_col=vec_col, id_col=id_col
     )
-    flat_fine = fine.reshape(-1, dim)  # (n_coarse*n_fine, dim)
 
     @pandas_udf(T.IntegerType())
     def _assign1(vecs: pd.Series) -> pd.Series:
@@ -831,14 +832,54 @@ def ivfpq_encode(
     id (partition/pruning key) + m small-int codes per vector. At 10⁹+
     vectors this is what sits on disk, partitioned by ivf_list, so a probe
     touches only nprobe/n_centroids of the files. ``residual=True`` (IVFADC
-    default) quantizes v − c(v); ``books`` must be trained the same way."""
-    return vectors.select(
-        F.col(id_col),
-        F.element_at(ivf_assign(F.col(vec_col), centroids, 1), 1).alias("ivf_list"),
-        pq_encode(
-            F.col(vec_col), books, centroids=centroids if residual else None
-        ).alias("pq"),
+    default) quantizes v − c(v); ``books`` must be trained the same way.
+
+    ONE fused mapInPandas pass (r4 review): the former
+    ivf_assign + pq_encode composition normalized every vector and computed
+    the full centroid-similarity matrix TWICE (two separate Arrow
+    crossings) — here the assignment is computed once and reused for both
+    the list id and the residual subtraction, which also removes any risk
+    of the two call sites' tie rules drifting apart (argmax == first-index
+    ties, the same rule ivf_assign's stable argsort encodes)."""
+    from typing import Iterator as _It
+
+    m, k, sub = books.shape
+    cents = centroids
+    id_type = vectors.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("ivf_list", T.IntegerType()),
+            T.StructField("pq", T.ArrayType(T.ShortType())),
+        ]
     )
+
+    def _enc(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.vstack(pdf[vec_col].to_numpy()))
+            assign = np.argmax(mat @ cents.T, axis=1)  # first index on ties
+            if residual:
+                mat = mat - cents[assign]
+            codes = np.zeros((len(mat), m), dtype=np.int16)
+            for j in range(m):
+                part = mat[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (part**2).sum(axis=1, keepdims=True)
+                    - 2.0 * part @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ivf_list": assign.astype(np.int32),
+                    "pq": list(codes),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(_enc, schema)
 
 
 def ivfpq_topk(

@@ -28,10 +28,17 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokens; empty/blank string → 0."""
+    """Whitespace tokens; empty/blank string → 0; NULL text → NULL.
+
+    The explicit null branch makes the semantics ANSI-config-independent
+    (r4 review, verified live: under spark.sql.ansi.enabled=false the old
+    when() fell through to size(split(NULL)) = -1 via legacy sizeOfNull —
+    a NEGATIVE count flowing into corpus token sums; ANSI-on gave NULL)."""
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("int"))
+        .when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
     )
 
 
@@ -170,7 +177,14 @@ def pack_sequences(
         packs: list[tuple[int, list[int]]] = []  # (remaining, row indices)
         out_pack = [""] * len(pdf)
         oversize = 0
+        nulls = 0
         for i, (tok) in enumerate(pdf["n_tokens"]):
+            if pd.isna(tok):
+                # null token count (null text upstream): own flagged pack —
+                # never a silent drop, never a NaN→int crash (r4 review)
+                out_pack[i] = f"b{bucket}-n{nulls}-nulltokens"
+                nulls += 1
+                continue
             t = int(tok)
             if t > max_tokens:
                 out_pack[i] = f"b{bucket}-o{oversize}-oversize"
@@ -187,7 +201,7 @@ def pack_sequences(
             for i in members:
                 out_pack[i] = f"b{bucket}-p{p_i}"
         pdf = pdf.assign(pack_id=out_pack)
-        totals = pdf.groupby("pack_id")["n_tokens"].transform("sum")
+        totals = pdf.groupby("pack_id")["n_tokens"].transform("sum").astype("Int64")
         return pdf.assign(pack_tokens=totals)[
             ["id", "n_tokens", "pack_id", "pack_tokens"]
         ]

@@ -6,8 +6,10 @@ as first-class components).
               → exact dedupe (min doc_id per normalized content)
               → per-language corpus stats
 
-Shuffle inventory: ONE shuffle (groupBy content hash for the dedupe — 8-byte
-key), then a partial-agg shuffle over the deduped survivors. Quality and
+Shuffle inventory: ONE shuffle (window over the sha2-256 content
+fingerprint for the dedupe — a 64-char key, the price of collision-free
+'exact' semantics at 10¹² docs; r4), then a partial-agg shuffle over the
+deduped survivors. Quality and
 lang-id are pure codegen; nothing crosses into Python.
 
 Fully SQL-expressible ⇒ oracle-checked end-to-end by the driver
@@ -30,7 +32,13 @@ def curate(docs: DataFrame, min_quality: float = 0.5, text_col: str = "text") ->
             "quality": quality_score(t),
             "lang_pred": lang_id(t),
             "n_tokens": token_count(t),
-            "fp": F.xxhash64(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")),
+            # sha2-256 content fingerprint (r4 review: the former 64-bit
+            # xxhash64 key gives ~10⁴ expected birthday collisions at the
+            # 10¹²-doc design point — thousands of NON-duplicate docs
+            # silently dropped as 'exact' dupes; 256 bits makes collision
+            # probability negligible and reuses the text.fingerprint helper
+            # that was imported for exactly this)
+            "fp": fingerprint(t),
         }
     ).filter(F.col("quality") >= min_quality)
     w = Window.partitionBy("fp").orderBy("doc_id")

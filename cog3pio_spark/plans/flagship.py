@@ -53,13 +53,24 @@ def media_spans(docs: DataFrame) -> DataFrame:
 
 def tiles_for_docs(docs: DataFrame, include_pixels: bool = False) -> DataFrame:
     """Decode every distinct media_ref once; return media spans joined to
-    their decoded tile stats + cell assignments."""
+    their decoded tile stats + cell assignments.
+
+    EVERY media span keeps a row: refs that failed to decode come through
+    with status='error' + error_msg and null cell columns (r4 review — the
+    former status filter + inner join silently DROPPED all spans of a
+    corrupt ref, so callers could not distinguish 'no media' from 'decode
+    failed'; the fused kernel documents the never-lose-decode-results
+    contract, and the modular path now honors it too). Filter
+    status == 'ok' to recover the old shape explicitly."""
     spans = media_spans(docs).filter(F.col("kind") == "media")
     refs = spans.select("media_ref").dropDuplicates(["media_ref"])
     decoded = decode_tiles(refs, include_pixels=include_pixels)
-    tiles = assign_cells(decoded.filter(F.col("status") == "ok"))
+    ok = assign_cells(decoded.filter(F.col("status") == "ok"))
+    err = decoded.filter(F.col("status") != "ok")
+    # error rows gain the assignment columns as nulls
+    tiles = ok.unionByName(err, allowMissingColumns=True)
     # broadcast the decoded side: distinct refs ≪ spans (Zipf dedupe)
-    return spans.join(F.broadcast(tiles), "media_ref", "inner")
+    return spans.join(F.broadcast(tiles), "media_ref", "left")
 
 
 def doc_media_refs(docs: DataFrame, prune_text: bool = False) -> DataFrame:

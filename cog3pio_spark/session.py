@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 16 MB, not the 128 MB cluster default (r4 review + CLAUDE.md):
+        # local inputs are small, so 128 MB packs every scan into ~4 splits
+        # on a 32-core box and every downstream Python-kernel stage
+        # serializes; 16 MB yields ≥3× cores splits for typical local
+        # inputs. A 100 TB deployment overrides per job from input stats
+        # (tools/scaling.py already does, with this same value).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # sketch aggregates (hll_sketch_agg) use ObjectHashAggregate, which
         # silently falls back to SORT-based aggregation past 128 distinct

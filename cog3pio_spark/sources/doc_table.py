@@ -53,12 +53,16 @@ def write_doc_table(
     spark = df.sparkSession
     if _iceberg_available(spark) and not location.endswith(".parquet"):
         try:
-            (
-                df.writeTo(location)
-                .using("iceberg")
-                .partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
-                .createOrReplace()
+            writer = df.writeTo(location).using("iceberg").partitionedBy(
+                F.bucket(n_buckets, F.col(bucket_col))
             )
+            # honor mode on the Iceberg path too (r4 review: createOrReplace
+            # for mode='append' REPLACED the whole table — silent data loss
+            # on exactly the production path this module exists for)
+            if mode == "append":
+                writer.append()
+            else:
+                writer.createOrReplace()
             return
         except Exception:
             pass

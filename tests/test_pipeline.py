@@ -71,6 +71,34 @@ def test_media_dedupe_decodes_each_ref_once(spark, docs, fixture_refs):
     assert st.count() == spans.count()
 
 
+def test_tiles_for_docs_keeps_failed_ref_spans(spark, docs):
+    """r4 review: spans whose ref fails to decode must surface as
+    status='error' rows with null cells — never silently vanish (the old
+    status filter + inner join dropped them)."""
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [
+            Row(
+                doc_id="baddoc",
+                spans=[
+                    Row(kind="media", text=None,
+                        media_ref="file:///nonexistent/xx.tif", offset=0)
+                ],
+            )
+        ],
+        docs.select("doc_id", "spans").schema,
+    )
+    both = docs.select("doc_id", "spans").unionByName(bad)
+    st = tiles_for_docs(both)
+    spans = media_spans(both).filter(F.col("kind") == "media")
+    assert st.count() == spans.count()  # exactly-once, incl. the bad ref
+    errs = st.filter(F.col("status") != "ok").collect()
+    assert len(errs) == 1
+    assert "Cannot find file" in errs[0]["error_msg"]
+    assert errs[0]["s2_cell"] is None
+
+
 def test_plan_has_no_per_row_python(spark, docs):
     """input_hint: zero per-row Python — the plan must never contain
     BatchEvalPython (row-at-a-time UDF); only ArrowEvalPython / MapInArrow /
