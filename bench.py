@@ -94,6 +94,12 @@ def run_spatial_pipeline(spark, n_docs: int) -> tuple[float, int]:
         rows = flagship_pipeline(docs, polys).collect()
         dts.append(time.perf_counter() - t0)
         log(f"spatial pipeline run{run}: {n_docs} docs in {dts[-1]:.2f}s → {len(rows)} rows")
+        # r4 review: a missing/stale tile farm makes every decode an error
+        # row — the pipeline returns near-instantly and the headline would
+        # silently inflate. Decode failures must FAIL the bench loudly.
+        assert rows and any(r["n_tiles"] > 0 for r in rows), (
+            "flagship produced no decoded tiles — tile farm missing/stale?"
+        )
     # best of the 3 warm runs (criterion/codspeed convention): this box gets
     # periodic sibling-load pulses that can triple a single run; min over
     # warm runs measures the engine, not the pulse (r3 — earlier rounds

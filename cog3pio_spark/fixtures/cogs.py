@@ -32,7 +32,13 @@ DTYPE_MATRIX = [
 
 def _ramp(dtype: str, h: int = 20, w: int = 20) -> np.ndarray:
     """Deterministic per-dtype ramp: values 0..h*w-1 mod a dtype-safe cap."""
-    cap = 251 if np.dtype(dtype).itemsize == 1 else 60013
+    dt = np.dtype(dtype)
+    # cap must fit the dtype (r4 review: 251 overflows int8's max of 127 —
+    # astype wrapped to negatives, so the 'dtype-safe' ramp wasn't)
+    if dt.kind in "iu":
+        cap = int(min(251 if dt.itemsize == 1 else 60013, np.iinfo(dt).max))
+    else:
+        cap = 251 if dt.itemsize == 1 else 60013
     vals = (np.arange(h * w) % cap).reshape(1, h, w)
     return vals.astype(dtype)
 
@@ -149,13 +155,11 @@ def generate_fixtures(out_dir: str) -> list[dict]:
     p = os.path.join(out_dir, "err_palette.tif")
     write_tiff(p, pal, palette=True)
     register("pal", None, p, valid=False)
-    rows[-1]["media_ref"] = "file://" + p
 
     p = os.path.join(out_dir, "err_truncated.tif")
     with open(p, "wb") as f:
         f.write(b"II\x2a\x00trunc")
     register("trunc", None, p, valid=False)
-    rows[-1]["media_ref"] = "file://" + p
 
     return rows
 
@@ -174,11 +178,15 @@ def generate_tile_farm(out_dir: str, n: int = 400, seed: int = 42) -> list[str]:
     for i in range(n):
         path = os.path.join(out_dir, f"tile_{i:05d}.tif")
         refs.append("file://" + path)
-        if os.path.exists(path):
-            continue
+        # draw BEFORE the skip check so a partially generated farm resumes
+        # with the same rng state a clean run would have (r4 review:
+        # skip-before-draw shifted every later tile's dtype/size/pixels,
+        # breaking cross-run comparability of bench numbers)
         dt = dtypes[i % len(dtypes)]
         h = w = int(rng.choice([32, 48, 64]))
         arr = (rng.rand(1, h, w) * 200).astype(dt)
+        if os.path.exists(path):
+            continue
         x0 = 480_000.0 + (i % 40) * 3_500.0
         y0 = 5_410_000.0 - (i // 40) * 20_000.0
         write_tiff(

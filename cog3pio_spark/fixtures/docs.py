@@ -109,7 +109,23 @@ def interleave_from_documents(
         u = u01(F.col("doc_id"), F.lit("r"), i)
         idx = F.size(F.filter(cdf_arr, lambda c: c < u))
         ref = F.element_at(refs_arr, idx + 1)
-        txt = F.substring(F.col("text"), F.lit(1) + i * chunk, chunk)
+        # text index = span index minus preceding MEDIA spans, so media
+        # spans interleave BETWEEN chunks instead of replacing them (r4
+        # review: substring(i*chunk) silently dropped the text chunk at
+        # every media position — ~media_fraction of each doc's text never
+        # appeared in any span). i=0 is always text, so the sequence guard
+        # never sees an empty range.
+        n_media_before = F.when(
+            i > 0,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(0), i - 1),
+                    lambda j: (u01(F.col("doc_id"), F.lit("k"), j) < media_fraction)
+                    & (j > F.lit(0)),
+                )
+            ),
+        ).otherwise(F.lit(0))
+        txt = F.substring(F.col("text"), F.lit(1) + (i - n_media_before) * chunk, chunk)
         return F.struct(
             F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
             F.when(is_media, F.lit("")).otherwise(txt).alias("text"),

@@ -64,7 +64,19 @@ def main() -> None:
     refs_df = span_refs.select("media_ref").dropDuplicates(["media_ref"]).repartition(par)
     tiles = fused_decode_assign_pip(refs_df, polys).filter(F.col("status") == "ok")
     tiles = range_partition_by_cell(tiles, par, cell_col="s2_cell")
-    tiles = tiles.withColumn("part_key", F.pmod(F.xxhash64("s2_cell"), F.lit(par)).cast("int"))
+    # part_key = S2 PARENT prefix, not a hash (r4 review: pmod(xxhash64)
+    # scattered each range-contiguous task across every partition dir —
+    # up to par² small files, a wasted range shuffle, and resume that
+    # skipped hash buckets instead of the documented cell ranges). The
+    # parent level is sized so #cells ≈ par; parents are deterministic
+    # across runs (resume-stable) and contiguous ranges map to contiguous
+    # parents, so each range task writes ~1-2 partition dirs.
+    import math
+
+    from cog3pio_spark.functions import cells as C
+
+    level = max(0, math.ceil(math.log(max(par, 6) / 6.0, 4)))
+    tiles = tiles.withColumn("part_key", C.s2_parent(F.col("s2_cell"), level))
     ckpt = write_checkpointed(tiles.drop("hex_cells"), args.out, part_col="part_key")
 
     dt = time.perf_counter() - t0

@@ -62,7 +62,8 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v + 0.0:.9g}"  # +0.0 folds -0.0 into 0.0 (r4: signed-zero
+        # disagreement between engines formatted as '-0' vs '0')
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):

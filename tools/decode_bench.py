@@ -89,13 +89,15 @@ def bench_spark_tiles(n_tiles: int = 36, tile_hw: int = 1830) -> dict:
     for i in range(n_tiles):
         p = os.path.join(SCRATCH, f"granule_{i:02d}.tif")
         refs.append("file://" + p)
-        if os.path.exists(p):
-            continue
+        # draw BEFORE the skip so partial generations resume with the same
+        # rng state (r4 review: same defect as generate_tile_farm)
         yy, xx = np.mgrid[0:tile_hw, 0:tile_hw]
         arr = np.stack(
             [((xx * 0.01 + yy * 0.013) * (b + 1) % 156).astype(np.uint8) for b in range(3)]
         )
         arr += rng.randint(0, 100, arr.shape).astype(np.uint8)
+        if os.path.exists(p):
+            continue
         write_tiff(p, arr, tiled=True, tile_size=512, compression="deflate",
                    pixel_scale=(10.0, 10.0), tiepoint=(0, 0, 0, 499980.0 + i * 20000.0, 5300040.0, 0))
     spark = get_spark("decode-bench", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]")
@@ -107,7 +109,8 @@ def bench_spark_tiles(n_tiles: int = 36, tile_hw: int = 1830) -> dict:
         t0 = time.perf_counter()
         rows = decode_tiles(df).select("status").collect()
         times.append(time.perf_counter() - t0)
-    assert all(True for _ in rows)
+    bad = [r for r in rows if r["status"] != "ok"]
+    assert not bad, f"decode bench: {len(bad)} rows failed (error rows are near-instant and would inflate MBps)"  # r4 review: the old assert was vacuous
     px = n_tiles * 3 * tile_hw * tile_hw
     best = min(times)
     spark.stop()

@@ -31,8 +31,9 @@ def main() -> None:
     from cog3pio_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = max(32, int(cpus) * 2) if cpus.isdigit() else 64  # '*' is valid
     spark = get_spark("dedup_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(32, int(cpus) * 2))
+                      shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
 
     base = spark.range(n).select(
@@ -65,7 +66,10 @@ def main() -> None:
     docs.count()  # warm
 
     t0 = time.perf_counter()
-    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5)
+    # materialize: CC timing below must measure CLOSURE cost, not a lazy
+    # re-execution of the whole minhash pipeline (r4 review — the first
+    # recorded components_sec included a full pair recompute)
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     t_pairs = time.perf_counter() - t0
     print(f"pairs: {n_pairs} in {t_pairs:.1f}s", file=sys.stderr, flush=True)
