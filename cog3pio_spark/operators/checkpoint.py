@@ -34,10 +34,20 @@ def data_path(base: str) -> str:
 
 
 def load_manifest(spark: SparkSession, base: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     p = manifest_path(base)
     try:
         return spark.read.parquet(p)
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY the first-run path-missing case maps to "no manifest". A
+        # corrupt/unreadable manifest must propagate (r4 review: swallowing
+        # it silently disabled resume forever — every subsequent run
+        # reprocessed 100% of the keys while appending duplicate manifest
+        # rows beside the corrupt file). Same policy as the data read-back
+        # catch in write_checkpointed.
+        if (exc.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
         return None
 
 
@@ -130,6 +140,19 @@ def write_checkpointed(
         .agg(F.count("*").alias("n_rows"))
         .localCheckpoint(eager=True)
     )
+    # NULL partition keys break resume silently (r4 review: the left_anti
+    # done-key join never matches NULL, so a null-keyed partition
+    # re-executes and re-appends manifest rows on EVERY resume, and the
+    # isin branch drops it from metrics entirely). The check runs on the
+    # tiny materialized metrics — never a probe of the upstream (which the
+    # protocol forbids executing twice).
+    if metrics.filter(F.col(part_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"write_checkpointed: NULL values in partition column "
+            f"'{part_col}' — null keys cannot be resume-tracked (the "
+            f"manifest anti-join never matches NULL). Filter or fill them "
+            f"before checkpointing."
+        )
     (
         metrics.select(
             F.col(part_col).cast(key_type).alias("part_key_done"),

@@ -36,11 +36,16 @@ from cog3pio_spark.session import spread_small_scan as _spread_small_scan
 def exact_dedupe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct normalized text: the smallest id wins.
 
-    Returns (doc_id, n_copies). Hash first so the shuffle key is 8 bytes.
+    Returns (doc_id, n_copies). Hash first so the shuffle carries a fixed
+    32-byte content key, never raw text. sha2-256, not xxhash64 (r4
+    review, same rationale as curate()'s fix: a 64-bit key expects ~10⁴
+    birthday collisions at the 10¹²-doc design point — each one silently
+    merges two DISTINCT documents; 256 bits makes that probability
+    negligible for 'exact' semantics).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (
-        docs.select(F.col(id_col), F.xxhash64(norm).alias("_h"))
+        docs.select(F.col(id_col), F.sha2(norm, 256).alias("_h"))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .drop("_h")
@@ -133,7 +138,7 @@ def minhash_lsh_dupes(
     from pyspark.sql import Window
 
     rows = num_hashes // bands
-    # -- 1. exact-text cluster collapse (no UDF; 8-byte shuffle key) -------
+    # -- 1. exact-text cluster collapse (no UDF; 32-byte content key) ------
     # Representative selection is an AGGREGATE, not a window (VERDICT r3
     # "What's wrong" #3): the old Window.partitionBy("_sh") shuffled and
     # SORTED full (id, text) rows — a full-corpus text shuffle at 100 TB.
@@ -141,8 +146,12 @@ def minhash_lsh_dupes(
     # candidate per key per map task; star pairs come from a separate THIN
     # (id, _sh) pass that never carries text at all.
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # sha2-256 collapse key (r4 review: a 64-bit key's birthday collisions
+    # at design scale emit FALSE jaccard_est=1.0 star pairs between
+    # unrelated texts, which dedupe_corpus then deletes; same fix class as
+    # exact_dedupe/curate)
     reps = (
-        docs.select(F.col(id_col), F.col(text_col), F.xxhash64(norm).alias("_sh"))
+        docs.select(F.col(id_col), F.col(text_col), F.sha2(norm, 256).alias("_sh"))
         .groupBy("_sh")
         .agg(
             F.min(id_col).alias(id_col),
@@ -151,7 +160,7 @@ def minhash_lsh_dupes(
             F.min_by(text_col, F.col(id_col)).alias(text_col),
         )
     )
-    thin = docs.select(F.col(id_col), F.xxhash64(norm).alias("_sh"))
+    thin = docs.select(F.col(id_col), F.sha2(norm, 256).alias("_sh"))
     star_pairs = (
         thin.join(thin.groupBy("_sh").agg(F.min(id_col).alias("_rep")), "_sh")
         .filter(F.col(id_col) != F.col("_rep"))
@@ -197,31 +206,38 @@ def minhash_lsh_dupes(
         )
         .filter(F.size("ms") >= 2)
     )
+    # jaccard_est is computed INSIDE the pair expression, before the
+    # pair-dedup shuffle (r4 review: the old shape shuffled both full
+    # 64-long signatures — ~1 KB/pair — through groupBy(id_a, id_b) only
+    # to reduce them to one double right after; the estimate is identical
+    # for a pair in every bucket, so the shuffle now carries one scalar).
+    def _est(a, b):
+        return F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(num_hashes))
+
     pair_expr = F.flatten(
         F.transform(
             "ms",
             lambda x, i: F.transform(
                 F.slice("ms", i + 2, F.size("ms")),
-                lambda y: F.when(x["id"] < y["id"], F.struct(x.alias("l"), y.alias("r")))
-                .otherwise(F.struct(y.alias("l"), x.alias("r"))),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    _est(x["sig"], y["sig"]).alias("est"),
+                ),
             ),
         )
     )
     pairs = (
         members.select(F.explode(pair_expr).alias("p"), "overflow")
-        .groupBy(F.col("p.l.id").alias("id_a"), F.col("p.r.id").alias("id_b"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
-            F.first("p.l.sig").alias("sig_a"),
-            F.first("p.r.sig").alias("sig_b"),
+            F.first("p.est").alias("jaccard_est"),
             F.max("overflow").alias("bucket_overflow"),
         )
     )
-    est = pairs.withColumn(
-        "jaccard_est",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-        / F.lit(float(num_hashes)),
-    )
-    near = est.filter(F.col("jaccard_est") >= jaccard_threshold).select(
+    near = pairs.filter(F.col("jaccard_est") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"), "bucket_overflow"
     )
     return near.unionByName(star_pairs)

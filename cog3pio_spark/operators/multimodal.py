@@ -26,6 +26,7 @@ contracts — is real and tested; foreign decodes are never faked.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -54,7 +55,11 @@ def attach_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 & (F.hex(F.substring(b, 9, 4)) == "57454250"),
                 "image/webp",
             )
-            .when(head.startswith("52494646"), "audio/wav")
+            .when(
+                head.startswith("52494646")
+                & (F.hex(F.substring(b, 9, 4)) == "57415645"),
+                "audio/wav",  # r4: form-type check — RIFF/AVI etc. are NOT wav
+            )
             .when(head.startswith("47494638"), "image/gif")
             # ISO-BMFF: bytes 5-8 are 'ftyp' (bytes 1-4 are the box size)
             .when(F.hex(F.substring(b, 5, 4)) == "66747970", "video/mp4")
@@ -103,17 +108,18 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
         # shape bug...) is a programming error and propagates.
         DECODE_ERRORS = (ValueError, EOFError, _struct.error, _zlib.error)
 
-        def vec(values: np.ndarray, vmax: float | None = 255.0) -> list[float]:
+        def vec(values: np.ndarray, vrange=(0.0, 255.0)) -> list[float]:
             # dtype-aware histogram range (r3 review: a fixed (0,255) range
-            # silently drops every sample of 16-bit/float imagery, producing
-            # an all-zero histogram tagged ';decoded'); floats bin over
-            # their own min/max
-            if vmax is None:
+            # silently drops every sample of 16-bit/float imagery; r4: and
+            # (0, max) dropped every NEGATIVE sample of signed dtypes —
+            # an all-negative int16 DEM binned to all-zero histograms
+            # tagged ';decoded'); floats bin over their own min/max
+            if vrange is None:
                 lo, hi = float(values.min()), float(values.max())
                 if hi <= lo:
                     hi = lo + 1.0
             else:
-                lo, hi = 0.0, float(vmax)
+                lo, hi = float(vrange[0]), float(vrange[1])
             hist = np.histogram(values, bins=N_FEATURES - 2, range=(lo, hi))[0]
             hist = hist / values.size
             return [*hist.tolist(), float(values.mean()), float(values.std())]
@@ -126,8 +132,11 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                     feats.append([0.0] * N_FEATURES)
                     types.append("empty")
                     continue
-                def _vmax(a: np.ndarray) -> float | None:
-                    return float(np.iinfo(a.dtype).max) if a.dtype.kind in "ui" else None
+                def _vrange(a: np.ndarray):
+                    if a.dtype.kind in "ui":
+                        info = np.iinfo(a.dtype)
+                        return (float(info.min), float(info.max))
+                    return None  # floats: bin over their own min/max
 
                 try:
                     if raw[:2] in (b"II", b"MM"):
@@ -139,22 +148,22 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
                             # convert its corrupt-input crash classes here
                             # so the outer tuple stays narrow
                             raise ValueError(f"corrupt tiff: {exc!r}") from exc
-                        feats.append(vec(px.astype(np.float64), _vmax(px)))
+                        feats.append(vec(px.astype(np.float64), _vrange(px)))
                         types.append("image/tiff;decoded")
                         continue
                     if raw[:2] == b"\xff\xd8":
                         px = decode_jpeg(raw)  # always uint8
-                        feats.append(vec(px.astype(np.float64), 255.0))
+                        feats.append(vec(px.astype(np.float64), (0.0, 255.0)))
                         types.append("image/jpeg;decoded")
                         continue
                     if raw[:8] == b"\x89PNG\r\n\x1a\n":
                         px = decode_png(raw)  # uint8 or uint16
-                        feats.append(vec(px.astype(np.float64), _vmax(px)))
+                        feats.append(vec(px.astype(np.float64), _vrange(px)))
                         types.append("image/png;decoded")
                         continue
                     if raw[:4] == b"GIF8":
                         px = decode_gif(raw)  # uint8 RGB
-                        feats.append(vec(px.astype(np.float64), 255.0))
+                        feats.append(vec(px.astype(np.float64), (0.0, 255.0)))
                         types.append("image/gif;decoded")
                         continue
                 except DECODE_ERRORS:
@@ -285,7 +294,7 @@ def resize_media(
                     out["width"].append(int(target_w))
                     out["height"].append(int(target_h))
                     out["resized"].append(data)
-                except Exception as exc:
+                except (ValueError, EOFError, struct.error, zlib.error) as exc:
                     out["status"].append("error")
                     out["error_msg"].append(str(exc))
                     out["width"].append(None)
@@ -396,7 +405,7 @@ def audio_meta(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") 
                     out["error_msg"].append(None)
                     for k, v in meta.items():
                         out[k].append(v)
-                except Exception as exc:
+                except (ValueError, EOFError, struct.error, zlib.error) as exc:
                     out["status"].append("error")
                     out["error_msg"].append(str(exc))
                     for k in ("codec", "channels", "sample_rate", "bit_depth",
@@ -620,7 +629,7 @@ def video_meta(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") 
                             for t in meta["tracks"]
                         ]
                     )
-                except Exception as exc:
+                except (ValueError, EOFError, struct.error, zlib.error) as exc:
                     out["status"].append("error")
                     out["error_msg"].append(str(exc))
                     for k in ("brand", "duration_s", "n_tracks", "width",

@@ -130,7 +130,11 @@ def _build_grid(pack: dict, n_polys: int) -> dict:
     np.add.at(cell_start, cells + 1, 1)
     cell_start = np.cumsum(cell_start)
     return {
-        "grid": (gx, gy, x0, y0, sx, sy),
+        # x1/y1 ride along: the boundary remap must compare against the
+        # TRUE extent, not x0 + gx*sx reconstructed with float error (r4
+        # review, verified: gx=49 over [0,1] reconstructs 0.9999999999999999
+        # and a point at exactly 1.0 was rejected)
+        "grid": (gx, gy, x0, y0, sx, sy, x1, y1),
         "grid_polys": polys,
         "grid_start": cell_start,
     }
@@ -149,14 +153,15 @@ def _bbox_pairs_dense(px, py, pack):
 def _bbox_pairs_grid(px, py, pack):
     """Grid-index candidate generation: O(points × avg bucket) instead of
     O(points × polys). Ragged CSR gather fully vectorized (repeat + cumsum)."""
-    gx, gy, x0, y0, sx, sy = pack["grid"]
+    gx, gy, x0, y0, sx, sy, x1, y1 = pack["grid"]
     cx = ((px - x0) / sx).astype(np.int64)
     cy = ((py - y0) / sy).astype(np.int64)
     # points exactly on the layer's max extent belong to the last cell (the
     # PIP contract is boundary-inclusive; strict cx < gx would drop them and
-    # diverge from the dense path — ADVICE r1). Out-of-extent stays rejected.
-    cx = np.where((px <= x0 + gx * sx) & (cx == gx), gx - 1, cx)
-    cy = np.where((py <= y0 + gy * sy) & (cy == gy), gy - 1, cy)
+    # diverge from the dense path — ADVICE r1). Out-of-extent stays
+    # rejected. Compare against the TRUE extent (r4 float-edge fix).
+    cx = np.where((px <= x1) & (cx >= gx), gx - 1, cx)
+    cy = np.where((py <= y1) & (cy >= gy), gy - 1, cy)
     inside = (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy) & np.isfinite(px)
     pt = np.nonzero(inside)[0]
     cell = cx[pt] * gy + cy[pt]

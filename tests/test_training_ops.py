@@ -1204,3 +1204,24 @@ def test_pack_sequences_budget_and_coverage(spark):
     }
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(docs, max_tokens=0)
+
+
+def test_signed_int_tiff_histogram_not_empty(spark):
+    """r4 review: a (0, iinfo.max) histogram range dropped every NEGATIVE
+    sample of signed dtypes — an all-negative int16 tile (below-sea-level
+    DEM shape) binned to an all-zero histogram confidently tagged
+    ';decoded'. The range now spans (iinfo.min, iinfo.max)."""
+    import io
+
+    from cog3pio_spark.operators.multimodal import extract_features
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    arr = (-np.arange(1, 401, dtype=np.int16) * 10).reshape(1, 20, 20)
+    buf = io.BytesIO()
+    write_tiff(buf, arr)
+    df = spark.createDataFrame([("dem", buf.getvalue())], ["media_id", "blob"])
+    row = extract_features(df).collect()[0]
+    assert row["media_type"] == "image/tiff;decoded"
+    hist = row["features"][:14]
+    assert sum(hist) > 0.99  # every sample binned (was exactly 0.0)
+    assert abs(row["features"][14] - float(arr.mean())) < 1e-9
