@@ -431,7 +431,17 @@ def q25_decode_tiles(spark, sf):
     full = decode_tiles(refs_all).select(
         F.lit("full").alias("mode"), tile, "status", "dtype", "bands",
         "height", "width", F.round("mean", 6).alias("mean_r"),
-        F.transform("band_means", lambda x: F.round(x, 6)).alias("band_means_r"),
+        # r5: serialized to a scalar string — the driver's pandas canonicalizer
+        # sort/hashes every column and array<double> cells are unhashable
+        # (VERDICT r4 #1: q25 TypeError: unhashable type: 'list').
+        F.when(F.col("band_means").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.transform("band_means", lambda x: F.format_string("%.6f", x)),
+            )
+        )
+        .alias("band_means_r"),
         "pixel_sha256",
         F.substring(F.coalesce("error_msg", F.lit("")), 1, 40).alias("error_kind"),
         F.lit(None).cast("boolean").alias("ranged_io"),
@@ -441,7 +451,7 @@ def q25_decode_tiles(spark, sf):
         F.lit(None).cast("string").alias("dtype"),
         F.lit(None).cast("int").alias("bands"),
         "height", "width", F.round("mean", 6).alias("mean_r"),
-        F.lit(None).cast("array<double>").alias("band_means_r"),
+        F.lit(None).cast("string").alias("band_means_r"),
         F.lit(None).cast("string").alias("pixel_sha256"),
         F.lit("").alias("error_kind"),
         F.coalesce(F.col("fetched_bytes") > 0, F.lit(False)).alias("ranged_io"),

@@ -131,3 +131,27 @@ def test_entry_contract(spark):
     assert set(first_oracle_block) == set(os_), (
         "all oracle-matched queries must be registered before any rows-only"
     )
+
+
+def test_registry_output_schemas_driver_hashable(spark):
+    """VERDICT r4 #2: the driver canonicalizes EVERY query's output with
+    pandas sort_values + hashing over all columns; nested cells
+    (array/map/struct) are unhashable there and error the whole entry —
+    q25's band_means_r array<double> broke the r4 gate this way. Lint every
+    registered query's declared schema (plan-only, no execution)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, sf_dir)
+        nested = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"nested (driver-unhashable) output columns: {bad}"

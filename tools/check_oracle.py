@@ -83,6 +83,39 @@ def arrow_cols_types_rows(tbl: pa.Table):
     return cols, types, rows
 
 
+def lint_output_schema(tbl: pa.Table) -> list[str]:
+    """Registry-wide output-schema lint (VERDICT r4 #2): the driver's pandas
+    canonicalizer sorts + hashes every column of every query's output, and
+    nested cells (list/struct/map) are unhashable there — they must never
+    appear in a registered query's output schema, rows-only or not."""
+    bad = []
+    for f in tbl.schema:
+        t = f.type
+        if (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+            or pa.types.is_struct(t)
+            or pa.types.is_map(t)
+        ):
+            bad.append(f"{f.name}:{t}")
+    return bad
+
+
+def driver_canon_smoke(tbl: pa.Table):
+    """Replicate the driver's pandas canonicalization on the Spark result:
+    to_pandas → sort_values over ALL columns → hash_pandas_object. This is
+    the exact path that raised `TypeError: unhashable type: 'list'` on q25 in
+    round 4 while the old rows-only branch (toArrow + row count) stayed
+    silent. Raises on any column type pandas cannot sort or hash."""
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    pd.util.hash_pandas_object(df, index=False)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -109,6 +142,17 @@ def main():
             scols, stypes, srows = arrow_cols_types_rows(stbl)
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        bad_cols = lint_output_schema(stbl)
+        if bad_cols:
+            print(f"FAIL  {name}: nested output columns (driver-unhashable): {bad_cols}")
+            n_fail += 1
+            continue
+        try:
+            driver_canon_smoke(stbl)
+        except Exception as exc:
+            print(f"FAIL  {name}: driver pandas canonicalization raised: {exc!r}")
             n_fail += 1
             continue
         if name not in oracles:
