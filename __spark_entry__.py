@@ -592,12 +592,69 @@ def q32_lsh_topk(spark, sf):
 
 
 def q33_compact_cells(spark, sf):
+    """Hex compaction as an invariant-style oracle (r5, VERDICT r4 #5): the
+    scratch cell math has no SQL twin, but its algebraic CONTRACT does.
+    Build a deterministic partially-dense leaf set (customer res-6 cells
+    expanded to res-8, with ~1/11 of leaves removed by a cell-id modulo
+    rule so compaction is non-trivial but not total), compact it, and emit
+    invariant rows the DuckDB side pins:
+
+    * roundtrip_symdiff = 0 — uncompact(compact(S), 8) is EXACTLY S
+      (multiset symmetric difference; losslessness / exact cover).
+    * ancestor_overlap = 0 — no compacted cell is a descendant of another
+      (the output is an antichain; double-cover freedom).
+    * did_compact = 1 — at least one parent was promoted, so the two
+      invariants above are exercised on a genuinely mixed-resolution set
+      (guards against a no-op compactor passing vacuously).
+    * n_points = count(customer) — SQL-computable anchor that the input
+      table was actually read at this sf.
+
+    Dense-set compaction + per-cell values stay pinned by
+    tests/test_cells.py + tests/test_properties.py roundtrip properties."""
     from cog3pio_spark.functions import cells as C
-    from cog3pio_spark.operators.assign import compact_cells
+    from cog3pio_spark.operators.assign import compact_cells, uncompact_cells
 
     pts = _cust_points(spark, sf)
-    cells = pts.select(C.h3x_cell(F.col("lat"), F.col("lng"), 8).alias("cell"))
-    return compact_cells(cells, res_hi=8, res_lo=5)
+    cells6 = pts.select(
+        C.h3x_cell(F.col("lat"), F.col("lng"), 6).alias("cell")
+    ).distinct()
+    leaves = (
+        uncompact_cells(cells6, 8)
+        .filter(F.col("cell") % 11 != 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = compact_cells(leaves, res_hi=8, res_lo=5).localCheckpoint(eager=True)
+    rt = uncompact_cells(comp, 8)
+    symdiff = (
+        rt.exceptAll(leaves)
+        .unionByName(leaves.exceptAll(rt))
+        .agg(F.count("*").alias("val"))
+        .select(F.lit("roundtrip_symdiff").alias("invariant"), "val")
+    )
+    withres = comp.withColumn("res", C.h3x_resolution(F.col("cell")))
+    overlaps = []
+    for r_child in range(6, 9):
+        child = withres.filter(F.col("res") == r_child)
+        for r_anc in range(5, r_child):
+            anc = child.select(C.h3x_parent(F.col("cell"), r_anc).alias("cell"))
+            overlaps.append(anc.join(comp, "cell", "left_semi"))
+    ov = overlaps[0]
+    for o in overlaps[1:]:
+        ov = ov.unionByName(o)
+    ov_row = ov.agg(F.count("*").alias("val")).select(
+        F.lit("ancestor_overlap").alias("invariant"), "val"
+    )
+    did = withres.filter(F.col("res") < 8).agg(
+        F.when(F.count("*") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("val")
+    ).select(F.lit("did_compact").alias("invariant"), "val")
+    n_points = pts.agg(F.count("*").alias("val")).select(
+        F.lit("n_points").alias("invariant"), "val"
+    )
+    return (
+        symdiff.unionByName(ov_row).unionByName(did).unionByName(n_points)
+        .orderBy("invariant")
+    )
 
 
 # q34_span_invariant / q35_knn_exact_vs_ring / q40_band_stats retired from
@@ -685,16 +742,24 @@ def q49_resize_media(spark, sf):
 
 
 def q50_pq_topk(spark, sf):
-    """Product-quantized ADC top-k (rows-only: approximate; recall pinned in
-    tests). The scan side carries m uint8 codes per vector — the
-    100 TB embedding-compression path."""
+    """Product-quantized ADC top-k at a provably lossless configuration
+    (r5 oracle conversion, VERDICT r4 #4 — the q32/q36/q48 recipe): the
+    corpus is capped at 200 vectors with k=256 codewords per subspace and
+    TRAIN_SAMPLE ≥ corpus, so the k-means init seeds one codeword per
+    corpus subvector and every assignment is distance-0 — reconstruction
+    is exact, hence ADC score == cosine and PQ top-k == brute force. The
+    whole PQ machinery (codebook train, uint8 encode, per-query (m,256)
+    LUT, per-batch partial top-k merge) runs for real and gets an exact
+    DuckDB oracle. The production approximate shape (corpus ≫ k) is
+    pinned by tests/test_training_ops.py::test_pq_topk_recall."""
     from cog3pio_spark.operators.ann import pq_topk
 
     emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 200)
     q = emb.filter(F.col("vec_id").isin(10, 11)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk(emb, q, dim=64, k=5, m=8)
+    return pq_topk(corpus, q, dim=64, k=5, m=8)
 
 
 def q51_embedding_dupes(spark, sf):
@@ -1033,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_anti_join": q28_anti_join,
         "q29_intersect": q29_intersect,
         "q32_lsh_topk": q32_lsh_topk,
+        "q33_compact_cells": q33_compact_cells,
         "q36_ivf_topk": q36_ivf_topk,
         "q38_curation": q38_curation,
         "q41_brand_revenue": q41_brand_revenue,
@@ -1043,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_conditional_pivot": q46_conditional_pivot,
         "q47_top_pairs_blocked": q47_top_pairs_blocked,
         "q48_ivf2_topk": q48_ivf2_topk,
+        "q50_pq_topk": q50_pq_topk,
         "q51_embedding_dupes": q51_embedding_dupes,
         # --- rows-only (non-SQL-expressible; pinned by pytest) -------------
         "q22_cell_assignment": q22_cell_assignment,
@@ -1051,10 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_decode_tiles": q25_decode_tiles,
         "q30_cell_rollups": q30_cell_rollups,
         "q31_cell_range_join": q31_cell_range_join,
-        "q33_compact_cells": q33_compact_cells,
         "q39_tile_covering": q39_tile_covering,
         "q49_resize_media": q49_resize_media,
-        "q50_pq_topk": q50_pq_topk,
         "q54_av_media_meta": q54_av_media_meta,
         "q56_image_codecs": q56_image_codecs,
         # kept last on purpose (r3 hedge, still valid): if the snapshot ever
@@ -1319,6 +1384,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
             FROM scored WHERE rank <= 5
         """,
+        # q33: invariant-style oracle (r5, VERDICT r4 #5) — the cell math
+        # has no SQL twin, so DuckDB pins the compaction CONTRACT instead:
+        # exact-cover roundtrip and antichain violations must be 0, a
+        # promotion must have happened (non-vacuous), and n_points anchors
+        # the input read. See q33's docstring.
+        "q33_compact_cells": """
+            SELECT * FROM (
+                SELECT 'ancestor_overlap' AS invariant, CAST(0 AS BIGINT) AS val
+                UNION ALL SELECT 'did_compact', 1
+                UNION ALL SELECT 'n_points', (SELECT count(*) FROM customer)
+                UNION ALL SELECT 'roundtrip_symdiff', 0
+            ) ORDER BY invariant
+        """,
         # q36/q48 probe ALL inverted lists (see their docstrings): every
         # vector is in exactly one list, so the scored candidate set is the
         # whole corpus — exact top-k, same brute-force oracle shape as q17
@@ -1350,6 +1428,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM scored WHERE rank <= 5
+        """,
+        # q50: PQ at a lossless configuration (corpus 200 ≤ k=256 codewords
+        # per subspace, train sample covers the corpus) — every corpus
+        # subvector is its own codeword, reconstruction is exact, ADC score
+        # == cosine ⇒ brute-force oracle over the capped corpus (r5
+        # conversion, VERDICT r4 #4; see q50's docstring)
+        "q50_pq_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (10, 11)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                                   e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id < 200
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   round(cos, 6) AS pq_score
             FROM scored WHERE rank <= 5
         """,
         # q51 = LSH-blocked near-dup pairs; deterministically equal to the

@@ -136,6 +136,16 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         log(f"{name}: {times[name]}s ({n} rows)")
 
+    # r5: drop pinned localCheckpoint blocks left by the per-query loop
+    # (kNN/ngram/minhash all truncate lineage via eager localCheckpoint;
+    # ContextCleaner only unpersists them after a JVM GC notices the RDD
+    # is unreachable). Untimed — the flagship should measure the engine,
+    # not the previous 23 queries' resident block pressure.
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
     sec, docs = run_spatial_pipeline(spark, N_DOCS)
     times["spatial_pipeline"] = round(sec, 3)
     docs_per_sec = docs / sec

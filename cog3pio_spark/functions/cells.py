@@ -98,6 +98,18 @@ def h3x_parent(cell: Column, res: int) -> Column:
     return _u(cell)
 
 
+def h3x_resolution(cell: Column) -> Column:
+    """Resolution of a packed hex cell id (r5: needed by invariant queries
+    that group a mixed-resolution compacted set before parent() calls,
+    which require uniform-resolution input)."""
+
+    @pandas_udf(T.IntegerType())
+    def _u(c: pd.Series) -> pd.Series:
+        return pd.Series(_h3x.resolution(c.to_numpy(np.int64)).astype(np.int32))
+
+    return _u(cell)
+
+
 def h3x_kring(cell: Column, k: int) -> Column:
     """ARRAY<BIGINT> of all cells within hex distance ≤ k (for explode+join)."""
 
