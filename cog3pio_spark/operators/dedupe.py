@@ -560,11 +560,20 @@ def connected_components(
     sig = _signature(edges)
     converged = False
     for _ in range(max_iters):
+        prev = edges
         edges = _round(_round(edges, large=True), large=False)
         new_sig = _signature(edges)
         if new_sig == sig:
-            converged = True
-            break
+            # ADVICE r4: the signature is probabilistic — a 2^-64-class
+            # xor collision between distinct edge sets would end iteration
+            # early and silently under-merge components. The signature only
+            # GATES the exact test; equality is confirmed set-exactly on
+            # the terminating round (both-ways exceptAll over the distinct,
+            # checkpointed edge sets — extra jobs on the final round only,
+            # never per-round).
+            if edges.exceptAll(prev).isEmpty() and prev.exceptAll(edges).isEmpty():
+                converged = True
+                break
         sig = new_sig
     if not converged:
         # loud, never silent: unconverged labels would under-merge

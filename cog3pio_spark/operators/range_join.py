@@ -32,22 +32,40 @@ def cell_prefix_range_join(
     cell_col: str = "s2_cell",
     lo_col: str = "range_lo",
     hi_col: str = "range_hi",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi+theta rewrite of ``probe.cell BETWEEN ranges.lo AND ranges.hi``.
 
     Returns probe columns + the matching range row's columns.
+
+    ``salt_cols``: explicit probe columns to hash for the skew salt. Default:
+    every ATOMIC probe column (sorted by name). Pass the cell column plus a
+    stable row-discriminating column (an id) when you need bucket assignment
+    to stay fixed as unrelated probe columns are added or dropped.
     """
-    # salt hashes the WHOLE probe row, not just the cell value (r4 review:
+    # salt hashes probe ROW content, not just the cell value (r4 review:
     # a cell-value salt sends every row of one hot cell id — a sentinel
     # location, a dominant tile — to a single (prefix, salt) bucket,
     # defeating the salting for duplicate-VALUE skew while the build side
-    # still pays the n_salt-fold explode). Rows identical in every column
-    # still collide, but those are true duplicates; deterministic (no rand)
-    # so resume/goldens reproduce.
+    # still pays the n_salt-fold explode). Rows identical in every salt
+    # column still collide, but those are true duplicates; deterministic
+    # (no rand) so resume/goldens reproduce.
+    if salt_cols is None:
+        # ADVICE r4: xxhash64 over *probe.columns fails at analysis for
+        # unhashable types (MapType) and silently reshuffles buckets when
+        # unrelated columns change — restrict to atomic columns, sorted so
+        # projection ORDER can't change the assignment either.
+        from pyspark.sql.types import AtomicType
+
+        salt_cols = sorted(
+            f.name for f in probe.schema.fields if isinstance(f.dataType, AtomicType)
+        )
+        if not salt_cols:
+            salt_cols = [cell_col]
     p = probe.withColumn("_prefix", C.s2_parent(F.col(cell_col), prefix_level)).withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salt)
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt)
         ).cast("int"),
     )
     # A range spanning the face 3|4 boundary flips sign in the signed-int64

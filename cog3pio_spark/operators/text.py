@@ -202,6 +202,10 @@ def pack_sequences(
                 out_pack[i] = f"b{bucket}-p{p_i}"
         pdf = pdf.assign(pack_id=out_pack)
         totals = pdf.groupby("pack_id")["n_tokens"].transform("sum").astype("Int64")
+        # ADVICE r4: pandas' skipna sum turns a single-NaN nulltokens pack
+        # into pack_tokens=0, silently conflating unknown-length docs with
+        # empty ones in any token-budget accounting — keep unknown NULL.
+        totals = totals.mask(pdf["pack_id"].str.endswith("-nulltokens"))
         return pdf.assign(pack_tokens=totals)[
             ["id", "n_tokens", "pack_id", "pack_tokens"]
         ]

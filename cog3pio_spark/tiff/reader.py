@@ -190,7 +190,7 @@ def file_range_fetcher(path: str):
     return fetch
 
 
-def http_range_fetcher(url: str):
+def http_range_fetcher(url: str, max_cached_body: int = 256 * 1024 * 1024):
     """Range fetcher over HTTP(S) for CogReader.from_fetcher — the ranged
     GET the reference never issues (adapters.rs:158-168 fetches whole
     objects). Each ``(offset, length)`` read becomes a
@@ -200,7 +200,13 @@ def http_range_fetcher(url: str):
     matches ``_fetch_http`` ("Cannot fetch url: ..."). Verified offline
     against an in-process Range-aware HTTP server
     (tests/test_window.py::test_http_range_fetcher_*); no external network
-    is required or assumed."""
+    is required or assumed.
+
+    ``max_cached_body`` (ADVICE r4): the 200-fallback holds the whole
+    response in worker memory for the fetcher's lifetime; a Range-ignoring
+    server serving a multi-GB object would pin it all. Bodies past the cap
+    error loudly (typed, with the fix — a Range-capable server — named)
+    instead of silently exhausting executor memory."""
     import urllib.error
     import urllib.request
 
@@ -221,6 +227,14 @@ def http_range_fetcher(url: str):
                 # windowed decode's MANY fetches cost ONE download, not one
                 # re-download per range (r4 review — otherwise strictly
                 # worse than the whole-object path this fetcher replaces)
+                if len(body) > max_cached_body:
+                    raise TiffDecodeError(
+                        f"Cannot fetch url: {url} (server ignores Range "
+                        f"requests and the full object ({len(body)} bytes) "
+                        f"exceeds the {max_cached_body}-byte body-cache cap; "
+                        f"use a Range-capable server or raise "
+                        f"max_cached_body)"
+                    )
                 full_body.append(body)
                 return body[off : off + n]
         except urllib.error.URLError as exc:

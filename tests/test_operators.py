@@ -164,6 +164,20 @@ def test_cell_range_join(spark):
     b = {(r["s2_cell"], r["range_id"]) for r in expected.collect()}
     assert a == b and len(a) > 0
 
+    # ADVICE r4: the skew salt hashes only ATOMIC probe columns — a probe
+    # carrying a MapType payload must not fail at analysis (xxhash64 cannot
+    # hash maps), and adding the unhashable column must not change results
+    probe_map = probe.withColumn(
+        "payload", F.create_map(F.lit("k"), F.col("s2_cell"))
+    )
+    got_map = cell_prefix_range_join(probe_map, ranges, prefix_level=6, n_salt=4)
+    assert {(r["s2_cell"], r["range_id"]) for r in got_map.collect()} == b
+    # explicit salt_cols: caller-pinned bucket assignment also matches
+    got_pin = cell_prefix_range_join(
+        probe, ranges, prefix_level=6, n_salt=4, salt_cols=["s2_cell"]
+    )
+    assert {(r["s2_cell"], r["range_id"]) for r in got_pin.collect()} == b
+
 
 def test_checkpoint_partial_write_recovery(spark, tmp_path):
     """A crash after data files land but BEFORE the manifest row commits

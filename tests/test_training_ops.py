@@ -1206,6 +1206,26 @@ def test_pack_sequences_budget_and_coverage(spark):
         pack_sequences(docs, max_tokens=0)
 
 
+def test_pack_sequences_null_tokens_stay_null(spark):
+    """ADVICE r4: a null-token doc's '-nulltokens' pack must carry NULL
+    pack_tokens (unknown), not 0 (empty) — pandas' skipna sum over a
+    single NaN silently produced 0 before the fix."""
+    from cog3pio_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("a", 100), ("b", None), ("c", 50)],
+        "doc_id string, n_tokens int",
+    )
+    out = {
+        r["id"]: r
+        for r in pack_sequences(docs, max_tokens=256, n_buckets=1).collect()
+    }
+    assert out["b"]["pack_id"].endswith("-nulltokens")
+    assert out["b"]["pack_tokens"] is None
+    assert out["b"]["n_tokens"] is None
+    assert out["a"]["pack_tokens"] == 150 and out["c"]["pack_tokens"] == 150
+
+
 def test_signed_int_tiff_histogram_not_empty(spark):
     """r4 review: a (0, iinfo.max) histogram range dropped every NEGATIVE
     sample of signed dtypes — an all-negative int16 tile (below-sea-level

@@ -197,6 +197,32 @@ def test_http_range_fetcher_degrades_on_200(tiled_file):
         srv.close()
 
 
+def test_http_range_fetcher_200_body_cap(tiled_file):
+    """ADVICE r4: the 200-fallback pins the whole body in the fetcher
+    closure — past max_cached_body it must error loudly (typed, naming the
+    fix) instead of silently holding a multi-GB object in worker memory."""
+    import pytest
+
+    from cog3pio_spark.tiff.reader import TiffDecodeError, http_range_fetcher
+
+    p, _ = tiled_file
+    raw = open(p, "rb").read()
+    srv = _RangeHTTPServer(raw, honor_range=False)
+    try:
+        fetch = http_range_fetcher(srv.url(), max_cached_body=len(raw) - 1)
+        with pytest.raises(TiffDecodeError, match="body-cache cap"):
+            fetch(0, 8)
+        # a compliant 206 server is unaffected by the cap
+        srv2 = _RangeHTTPServer(raw)
+        try:
+            ok = http_range_fetcher(srv2.url(), max_cached_body=1)
+            assert ok(0, 4) == raw[:4]
+        finally:
+            srv2.close()
+    finally:
+        srv.close()
+
+
 def test_http_range_fetcher_through_decode_tiles(spark, tiled_file):
     """decode_tiles(range_read=True) dispatches http:// refs to the HTTP
     range fetcher on executors; fetched_bytes telemetry records ranged IO."""
