@@ -874,7 +874,8 @@ def q56_image_codecs(spark, sf):
     JPEG baseline AND progressive (pure-numpy markers/Huffman/dequant/IDCT/
     420-upsampling/YCbCr; r4 adds SOF2 spectral selection + successive
     approximation; interop ±2 vs ImageIO, tests/test_jpeg.py), PNG (zlib +
-    5 scanline filters + palette/16-bit, EXACT lossless interop,
+    5 scanline filters + palette/16-bit + Adam7 interlace since r5, EXACT
+    lossless interop,
     tests/test_png.py), GIF (LSB-first LZW, no early change, EXACT interop,
     tests/test_gif.py). Joined with the r4 header-only image_meta pass
     (dims/bands/SOF detail with NO pixel decode — incl. a WebP row whose
@@ -890,6 +891,7 @@ def q56_image_codecs(spark, sf):
         "java_gray.jpg", "java_rgb420.jpg",
         "java_gray_prog.jpg", "java_rgb_prog.jpg",
         "java_gray.png", "java_rgba.png",
+        "java_gray_ilace.png", "java_rgba_ilace.png",  # Adam7 (r5)
         "java_indexed.gif",
     )
     rows = [

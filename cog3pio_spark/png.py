@@ -7,8 +7,9 @@ JPEG ±2 tolerance (tests/test_png.py).
 
 Supported: 8-bit and 16-bit gray / gray+alpha / RGB / RGBA and 1/2/4/8-bit
 palette, all five scanline filters (None/Sub/Up/Average/Paeth), multiple
-IDAT chunks. Adam7 interlace raises an honest ``unsupported error``
-(virtually all machine-generated PNGs are non-interlaced).
+IDAT chunks, and Adam7 interlace (r5, VERDICT r4 #7 — interlaced PNGs are
+common in older web crawls; each of the 7 passes is an independently
+filtered sub-image whose samples scatter into the full grid).
 
 Performance note (honest): Sub/Average/Paeth unfiltering carries a
 left-to-right data dependency, implemented as a per-byte Python loop per
@@ -31,6 +32,11 @@ class PngDecodeError(ValueError):
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -70,6 +76,29 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return recon
 
 
+def _samples_from_recon(
+    recon: np.ndarray, w: int, h: int, depth: int, channels: int, color: int
+) -> np.ndarray:
+    """Unfiltered recon bytes → (h, w, channels) sample array (uint8 or
+    uint16; palette images yield (h, w, 1) indices). Shared by the
+    sequential path (whole image) and the Adam7 path (per pass)."""
+    if color == 3 and depth != 8:  # 1/2/4-bit packed indices, MSB first
+        bits = np.unpackbits(recon, axis=1)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        for k in range(depth):
+            idx = (idx << 1) | bits[:, k::depth][:, :w]
+        return idx[:, :, None]
+    if depth == 8:
+        return recon[:, : w * channels].reshape(h, w, channels)
+    # 16-bit big-endian samples (contiguous copy before the view)
+    return (
+        np.ascontiguousarray(recon[:, : w * channels * 2])
+        .view(">u2")
+        .astype(np.uint16)
+        .reshape(h, w, channels)
+    )
+
+
 def decode_png(raw: bytes) -> np.ndarray:
     """Decode a PNG byte stream to a (bands, h, w) uint8/uint16 tensor
     (bands: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette expands to RGB).
@@ -102,9 +131,9 @@ def _decode_png_stream(raw: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
             if comp != 0 or filt != 0:
                 raise PngDecodeError("Cannot parse PNG: unknown compression/filter method")
-            if interlace == 1:
+            if interlace not in (0, 1):
                 raise PngDecodeError(
-                    "unsupported error: Adam7 interlaced PNG is unsupported"
+                    f"Cannot parse PNG: bad interlace method {interlace}"
                 )
             if color not in _CHANNELS:
                 raise PngDecodeError(f"Cannot parse PNG: bad color type {color}")
@@ -114,7 +143,7 @@ def _decode_png_stream(raw: bytes) -> np.ndarray:
                 raise PngDecodeError(
                     f"unsupported error: {depth}-bit color type {color} is unsupported"
                 )
-            ihdr = (w, h, depth, color)
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -123,35 +152,56 @@ def _decode_png_stream(raw: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise PngDecodeError("Cannot parse PNG: missing IHDR/IDAT")
-    w, h, depth, color = ihdr
+    w, h, depth, color, interlace = ihdr
     channels = _CHANNELS[color]
     bits_per_px = depth * channels
-    stride = (w * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)  # filter unit in bytes
 
     try:
         data = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise PngDecodeError(f"Cannot decode PNG: corrupt IDAT ({exc})") from exc
-    if len(data) != h * (stride + 1):
+
+    # one grid per pass: sequential = a single full-image pass; Adam7 = the
+    # 7 spec passes, each an independently filtered sub-image (empty passes
+    # of narrow/short images contribute zero bytes, not even filter bytes)
+    if interlace == 0:
+        passes = [((0, 0, 1, 1), w, h)]
+    else:
+        passes = [
+            ((x0, y0, dx, dy), (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for (x0, y0, dx, dy) in _ADAM7
+        ]
+    expected = sum(
+        hp * ((wp * bits_per_px + 7) // 8 + 1) for _, wp, hp in passes if wp and hp
+    )
+    if len(data) != expected:
         raise PngDecodeError(
-            f"Cannot decode PNG: expected {h * (stride + 1)} filtered bytes, "
+            f"Cannot decode PNG: expected {expected} filtered bytes, "
             f"got {len(data)}"
         )
-    recon = _unfilter(
-        np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1), h, stride, bpp
-    )
 
-    if color == 3:  # palette: unpack indices, expand via PLTE
+    sample_dtype = np.uint16 if (color != 3 and depth == 16) else np.uint8
+    samples = np.zeros((h, w, channels), dtype=sample_dtype)
+    pos_b = 0
+    for (x0, y0, dx, dy), wp, hp in passes:
+        if not wp or not hp:
+            continue
+        stride_p = (wp * bits_per_px + 7) // 8
+        nbytes = hp * (stride_p + 1)
+        block = np.frombuffer(
+            data, dtype=np.uint8, count=nbytes, offset=pos_b
+        ).reshape(hp, stride_p + 1)
+        pos_b += nbytes
+        recon = _unfilter(block, hp, stride_p, bpp)
+        samples[y0::dy, x0::dx] = _samples_from_recon(
+            recon, wp, hp, depth, channels, color
+        )
+
+    if color == 3:  # palette: expand indices via PLTE
         if palette is None:
             raise PngDecodeError("Cannot parse PNG: palette image without PLTE")
-        if depth == 8:
-            idx = recon[:, :w]
-        else:  # 1/2/4-bit packed indices, MSB first
-            bits = np.unpackbits(recon, axis=1)
-            idx = np.zeros((h, w), dtype=np.uint8)
-            for k in range(depth):
-                idx = (idx << 1) | bits[:, k::depth][:, :w]
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
             raise PngDecodeError(
                 f"Cannot decode PNG: palette index {int(idx.max())} out of "
@@ -160,13 +210,4 @@ def _decode_png_stream(raw: bytes) -> np.ndarray:
         rgb = palette[idx]  # (h, w, 3)
         return np.moveaxis(rgb, -1, 0).copy()
 
-    if depth == 8:
-        px = recon[:, : w * channels].reshape(h, w, channels)
-    else:  # 16-bit big-endian samples (contiguous copy before the view)
-        px = (
-            np.ascontiguousarray(recon[:, : w * channels * 2])
-            .view(">u2")
-            .astype(np.uint16)
-            .reshape(h, w, channels)
-        )
-    return np.moveaxis(px, -1, 0).copy()
+    return np.moveaxis(samples, -1, 0).copy()
