@@ -53,6 +53,10 @@ def available_now_ingest(
             F.col("span.media_ref").alias("media_ref"),
         )
         .filter(F.col("kind") == "media")
+        # r5 review: after the filter 'kind' is the constant 'media' on
+        # every row — drop it from the sink (doc_media_refs in
+        # plans/flagship.py drops it too; batch/stream schema parity)
+        .drop("kind")
     )
     q = (
         spans.writeStream.format("parquet")
@@ -150,11 +154,14 @@ def streaming_flagship(
     batch pipeline produces on that epoch's documents (parity pinned in
     tests/test_streaming.py::test_streaming_flagship_matches_batch).
     Cross-epoch totals are a plain second-stage groupBy for the additive
-    columns (n_spans, n_tiles, sum_tile_mean). n_docs is the WITHIN-epoch
-    distinct estimate — the pipeline emits the HLL estimate, not the sketch,
-    so per-epoch values do not merge into a cross-epoch distinct count (a
-    doc spanning two epochs would double-count); callers needing global
-    distinct docs run the batch pipeline over the drained table.
+    columns (n_spans, sum_tile_mean — per-span quantities partition across
+    epochs). n_docs AND n_tiles are WITHIN-epoch only: n_docs is the HLL
+    estimate (the pipeline emits the estimate, not the sketch), and n_tiles
+    counts distinct (media_ref, polygon) rows — a media_ref referenced from
+    documents in two epochs is decoded and counted in BOTH, so summing
+    per-epoch n_tiles double-counts shared refs (r5 review). Callers
+    needing global distinct docs or tiles run the batch pipeline over the
+    drained table.
     """
     from cog3pio_spark.plans.flagship import flagship_pipeline
 

@@ -90,14 +90,18 @@ def bench_spark_tiles(n_tiles: int = 36, tile_hw: int = 1830) -> dict:
         p = os.path.join(SCRATCH, f"granule_{i:02d}.tif")
         refs.append("file://" + p)
         # draw BEFORE the skip so partial generations resume with the same
-        # rng state (r4 review: same defect as generate_tile_farm)
+        # rng state (r4 review: same defect as generate_tile_farm); the
+        # deterministic ramp is built only when the file is actually
+        # written (r5 review: the mgrid pair + 3-band stack cost several
+        # hundred MB of allocations per tile on fully-warm re-runs)
+        noise = rng.randint(0, 100, (3, tile_hw, tile_hw)).astype(np.uint8)
+        if os.path.exists(p):
+            continue
         yy, xx = np.mgrid[0:tile_hw, 0:tile_hw]
         arr = np.stack(
             [((xx * 0.01 + yy * 0.013) * (b + 1) % 156).astype(np.uint8) for b in range(3)]
         )
-        arr += rng.randint(0, 100, arr.shape).astype(np.uint8)
-        if os.path.exists(p):
-            continue
+        arr += noise
         write_tiff(p, arr, tiled=True, tile_size=512, compression="deflate",
                    pixel_scale=(10.0, 10.0), tiepoint=(0, 0, 0, 499980.0 + i * 20000.0, 5300040.0, 0))
     spark = get_spark("decode-bench", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS','32')}]")

@@ -11,6 +11,7 @@ Prints one JSON line; human logging on stderr.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -59,7 +60,14 @@ def main() -> None:
             F.concat(words, F.lit(" variant "), (F.col("id") % 7).cast("string")),
         ).otherwise(words).alias("text"),
     )
-    path = f"/tmp/dedup_bench_docs_{n}.parquet"
+    # cache key carries a generator version hash (r5 review: a path keyed
+    # only by n silently reused a STALE corpus after formula edits — bench
+    # numbers and the closure_exact gate would test old data). BUMP the
+    # version string whenever the corpus formula above changes.
+    gen_sig = hashlib.sha256(
+        b"v1|pow0.74|mod997|words40|variant10x7|%d" % n
+    ).hexdigest()[:12]
+    path = f"/tmp/dedup_bench_docs_{n}_{gen_sig}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)

@@ -72,8 +72,15 @@ def _level_flagship(cpus: int, docs_path: str) -> dict:
     times = []
     for run in range(warm + runs):
         t0 = time.perf_counter()
-        flagship_pipeline(docs, polys).collect()
+        rows = flagship_pipeline(docs, polys).collect()
         dt = time.perf_counter() - t0
+        # r5 review: same loud guard as bench.py — a missing/stale tile farm
+        # makes every decode an error row, the pipeline's polygon_id filter
+        # drops them all, and the level would "finish" near-instantly,
+        # silently inflating the published scaling numbers.
+        assert rows and any(r["n_tiles"] > 0 for r in rows), (
+            "flagship produced no decoded tiles — tile farm missing/stale?"
+        )
         if run >= warm:
             times.append(dt)
         print(f"  local[{cpus}] flagship run{run}: {dt:.2f}s", file=sys.stderr, flush=True)
@@ -121,10 +128,17 @@ def _level_control(cpus: int) -> dict:
 def _subprocess_level(kind: str, cpus: int, docs_path: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), f"--{kind}", str(cpus), docs_path],
-        capture_output=True, text=True, env={**os.environ}, cwd=HERE, check=True,
+        capture_output=True, text=True, env={**os.environ}, cwd=HERE,
     )
     for line in out.stderr.splitlines():
         print(line, file=sys.stderr)
+    if out.returncode != 0:
+        # r5 review: check=True swallowed the child's Spark traceback — a
+        # multi-minute level that OOMs must die showing WHY
+        raise RuntimeError(
+            f"scaling level --{kind} {cpus} failed (rc={out.returncode}); "
+            f"stderr tail:\n" + "\n".join(out.stderr.splitlines()[-25:])
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -152,15 +166,23 @@ def main() -> None:
 
     prep = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--prepare"],
-        capture_output=True, text=True, env={**os.environ}, cwd=HERE, check=True,
+        capture_output=True, text=True, env={**os.environ}, cwd=HERE,
     )
+    if prep.returncode != 0:
+        raise RuntimeError(
+            f"scaling --prepare failed (rc={prep.returncode}); stderr tail:\n"
+            + "\n".join(prep.stderr.splitlines()[-25:])
+        )
     docs_path = prep.stdout.strip().splitlines()[-1]
 
     flag = {c: _subprocess_level("flagship", c, docs_path) for c in LEVELS}
     ctrl = {c: _subprocess_level("control", c, docs_path) for c in LEVELS}
 
     pairs = []
-    for n in LEVELS:
+    # sorted: the headline is the LOWEST (pre-saturation) pair regardless of
+    # the order LEVELS was specified in (r5 review — env "32,16,4,1" would
+    # otherwise promote the bus-contended pair to the pass/fail gate)
+    for n in sorted(LEVELS):
         if n * 4 in flag:
             sp_f = flag[n]["median_sec"] / flag[n * 4]["median_sec"]
             sp_c = ctrl[n]["median_sec"] / ctrl[n * 4]["median_sec"]
