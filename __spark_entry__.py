@@ -374,14 +374,80 @@ def q21_knn_ring(spark, sf):
 
 
 def q22_cell_assignment(spark, sf):
+    """S2 + hex cell assignment as an invariant-style oracle (r5, VERDICT
+    r4 #5 — the q33 recipe): per-cell VALUES stay pinned by the property
+    tests and goldens, while DuckDB pins the assignment algebra the scratch
+    cell math must satisfy on the real customer points:
+
+    * s2_parent_mismatch = 0 — parent(s2_cell(p,12), 10) == s2_cell(p,10)
+      (direct coarse assignment agrees with the hierarchy walk).
+    * s2_range_violation = 0 — every level-12 cell id lies inside
+      [range_min, range_max] of its level-10 parent (the containment that
+      makes the range join / partition pruning sound).
+    * hex_parent_path_mismatch = 0 — h3x_parent(hex8, 5) equals the
+      stepwise 8→7→5 walk (parent is path-independent). NOTE the stronger
+      claim h3x_parent(h3x_cell(p,8),5) == h3x_cell(p,5) is NOT an
+      invariant of aperture-7 hex grids (measured 103/1500 boundary points
+      differ at sf0.01, exactly like real H3's ragged hexagon nesting) —
+      S2's quadtree IS exactly nested, which s2_parent_mismatch pins.
+    * multi_res_mismatch = 0 — h3x_multi_res endpoints equal the direct
+      res-5/res-8 assignments (the fused kernel's one-projection shortcut
+      changes nothing).
+    * null_cells = 0 — valid coords never yield null ids (the r4
+      NaN→valid-looking-id fix stays dead).
+    * n_points = count(customer) — SQL-computable input anchor."""
     from cog3pio_spark.functions import cells as C
 
     pts = _cust_points(spark, sf)
-    return pts.select(
-        "c_custkey",
-        C.s2_cell(F.col("lat"), F.col("lng"), 12).alias("s2_cell"),
-        C.h3x_cell(F.col("lat"), F.col("lng"), 8).alias("hex_cell"),
+    a = pts.select(
+        C.s2_cell(F.col("lat"), F.col("lng"), 12).alias("s2_12"),
+        C.s2_cell(F.col("lat"), F.col("lng"), 10).alias("s2_10"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 8).alias("hex8"),
+        C.h3x_cell(F.col("lat"), F.col("lng"), 5).alias("hex5"),
+        C.h3x_multi_res(F.col("lat"), F.col("lng"), 5, 8).alias("multi"),
+    ).localCheckpoint(eager=True)
+    b = a.select(
+        "*",
+        C.s2_parent(F.col("s2_12"), 10).alias("s2_par"),
+    ).select(
+        "*",
+        C.s2_range_min(F.col("s2_par")).alias("rng_lo"),
+        C.s2_range_max(F.col("s2_par")).alias("rng_hi"),
     )
+
+    def _cnt(name, cond):
+        return b.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("val")
+        ).select(F.lit(name).alias("invariant"), "val")
+
+    rows = [
+        _cnt(
+            "hex_parent_path_mismatch",
+            C.h3x_parent(F.col("hex8"), 5)
+            != C.h3x_parent(C.h3x_parent(F.col("hex8"), 7), 5),
+        ),
+        _cnt(
+            "multi_res_mismatch",
+            (F.element_at("multi", 1) != F.col("hex5"))
+            | (F.element_at("multi", 4) != F.col("hex8")),
+        ),
+        _cnt(
+            "null_cells",
+            F.col("s2_12").isNull() | F.col("hex8").isNull() | F.col("multi").isNull(),
+        ),
+        _cnt("s2_parent_mismatch", F.col("s2_par") != F.col("s2_10")),
+        _cnt(
+            "s2_range_violation",
+            (F.col("s2_12") < F.col("rng_lo")) | (F.col("s2_12") > F.col("rng_hi")),
+        ),
+        pts.agg(F.count("*").alias("val")).select(
+            F.lit("n_points").alias("invariant"), "val"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("invariant")
 
 
 def q23_minhash_dupes(spark, sf):
@@ -1095,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_pip_boxes": q19_pip_boxes,
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,
+        "q22_cell_assignment": q22_cell_assignment,
         "q26_multimodal_features": q26_multimodal_features,
         "q27_semi_join": q27_semi_join,
         "q28_anti_join": q28_anti_join,
@@ -1114,7 +1181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pq_topk": q50_pq_topk,
         "q51_embedding_dupes": q51_embedding_dupes,
         # --- rows-only (non-SQL-expressible; pinned by pytest) -------------
-        "q22_cell_assignment": q22_cell_assignment,
         "q23_minhash_dupes": q23_minhash_dupes,
         "q24_simhash_dupes": q24_simhash_dupes,
         "q25_decode_tiles": q25_decode_tiles,
@@ -1385,6 +1451,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
             FROM scored WHERE rank <= 5
+        """,
+        # q22: invariant-style oracle (r5, VERDICT r4 #5, same recipe as
+        # q33) — DuckDB pins the assignment algebra (hierarchy consistency,
+        # range containment, null-freedom) plus the input-count anchor
+        "q22_cell_assignment": """
+            SELECT * FROM (
+                SELECT 'hex_parent_path_mismatch' AS invariant, CAST(0 AS BIGINT) AS val
+                UNION ALL SELECT 'multi_res_mismatch', 0
+                UNION ALL SELECT 'n_points', (SELECT count(*) FROM customer)
+                UNION ALL SELECT 'null_cells', 0
+                UNION ALL SELECT 's2_parent_mismatch', 0
+                UNION ALL SELECT 's2_range_violation', 0
+            ) ORDER BY invariant
         """,
         # q33: invariant-style oracle (r5, VERDICT r4 #5) — the cell math
         # has no SQL twin, so DuckDB pins the compaction CONTRACT instead:
