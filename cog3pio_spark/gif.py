@@ -9,7 +9,9 @@ the interop contract against Java ImageIO is EXACT per-pixel equality
 
 Supported: GIF87a/89a, global and local color tables, interlaced images
 (pass reordering), extensions skipped; the FIRST frame of animated GIFs is
-decoded (documented — same single-image contract as the JPEG/PNG paths).
+decoded and composited onto the logical screen (r5: sub-rectangle first
+frames — partial updates — are placed at their descriptor offsets over the
+background color instead of being returned mispositioned).
 Performance note: the LZW loop is per-code Python — correctness-first
 reference decoder (same contract note as jpeg.py/png.py).
 """
@@ -125,7 +127,7 @@ def _decode_gif(raw: bytes) -> np.ndarray:
                 pos += 1 + raw[pos]
             pos += 1  # terminator
         elif block == 0x2C:  # image descriptor — decode this (first) frame
-            _ix, _iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", raw, pos)
+            ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", raw, pos)
             pos += 9
             ct = gct
             if ipacked & 0x80:  # local color table
@@ -150,6 +152,25 @@ def _decode_gif(raw: bytes) -> np.ndarray:
                     f"range for {len(ct)}-entry table"
                 )
             rgb = ct[idx]  # (h, w, 3)
+            # r5 review: the descriptor's offsets were discarded — a first
+            # frame covering a sub-rectangle (common when frame 1 is a
+            # partial update) came back mispositioned with the wrong
+            # dimensions. Composite onto the sw×sh logical screen filled
+            # with the background color (GCT[bg]; black without a GCT —
+            # there is no on-screen prior for frame 1).
+            if (ix, iy, iw, ih) != (0, 0, sw, sh):
+                if ix + iw > sw or iy + ih > sh:
+                    raise GifDecodeError(
+                        f"Cannot decode GIF: frame rect ({ix},{iy})+"
+                        f"{iw}x{ih} exceeds logical screen {sw}x{sh}"
+                    )
+                bg_rgb = (
+                    gct[_bg] if gct is not None and _bg < len(gct)
+                    else np.zeros(3, np.uint8)
+                )
+                canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+                canvas[iy : iy + ih, ix : ix + iw] = rgb
+                rgb = canvas
             return np.moveaxis(rgb, -1, 0).copy()
         elif block == 0x3B:  # trailer
             break

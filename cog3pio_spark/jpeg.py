@@ -139,6 +139,7 @@ def _decode_jpeg_stream(raw: bytes) -> np.ndarray:
     frame = None
     scans: list[dict] = []
     restart_interval = 0
+    adobe_transform = None
 
     while pos < len(raw):
         if raw[pos] != 0xFF:
@@ -239,17 +240,31 @@ def _decode_jpeg_stream(raw: bytes) -> np.ndarray:
                     "se": se,
                     "ah": ahal >> 4,
                     "al": ahal & 0x0F,
-                    # snapshot: DHT/DRI may be redefined between scans
+                    # snapshot: DHT/DRI/DQT may be redefined between scans;
+                    # qtables latch per component at its FIRST scan (r5
+                    # review — dequantizing everything with the FINAL
+                    # tables retroactively corrupted earlier scans' coefs
+                    # on mid-frame DQT redefinition; libjpeg latches at
+                    # first use)
                     "htables": dict(htables),
+                    "qtables": dict(qtables),
                     "ri": restart_interval,
                 }
             )
             if frame is not None and not frame.get("progressive"):
                 break  # single-scan sequential: decode below
+        elif marker == 0xEE:  # APP14 'Adobe': color-transform declaration
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         # other segments (APPn, COM) are skipped
 
     if frame is None or not scans:
         raise JpegDecodeError("Cannot parse JPEG: missing SOF/SOS")
+    # r5 review: 3-component frames were ALWAYS YCbCr-converted — an Adobe
+    # APP14 transform=0 stream (or JPEG with literal 'R','G','B' component
+    # ids) stores RGB directly and was silently garbled by the matrix.
+    ids = [c["id"] for c in frame["comps"]]
+    frame["rgb_direct"] = adobe_transform == 0 or ids == [0x52, 0x47, 0x42]
     if frame.get("progressive"):
         planes, comps, max_h, max_v = _decode_progressive_scans(
             frame, scans, qtables
@@ -275,6 +290,10 @@ def _decode_jpeg_stream(raw: bytes) -> np.ndarray:
     max_v = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
+    _check_blocks_vs_entropy(
+        mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps),
+        sum(len(s) for s in scan["segments"]),
+    )
     planes = {
         c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
         for c in comps
@@ -335,6 +354,20 @@ def _decode_jpeg_stream(raw: bytes) -> np.ndarray:
     return _assemble_output(planes, comps, frame, max_h, max_v)
 
 
+def _check_blocks_vs_entropy(total_blocks: int, entropy_bytes: int) -> None:
+    """r5 review: corrupt SOF dimensions (a 25-byte blob claiming
+    65535×65535) reached multi-GB plane allocations and escaped the error
+    taxonomy as MemoryError. Every coded block costs ≥1 Huffman bit even in
+    the sparsest legal stream (progressive DC-first), so blocks > 8×entropy
+    bytes is impossible for a decodable frame — refuse before allocating."""
+    if total_blocks > 8 * max(1, entropy_bytes):
+        raise JpegDecodeError(
+            f"Cannot decode JPEG: frame declares {total_blocks} coded blocks "
+            f"but carries only {entropy_bytes} entropy bytes (corrupt "
+            f"dimensions)"
+        )
+
+
 def _upsample(p: np.ndarray, ry: int, rx: int) -> np.ndarray:
     """Triangle-filter upsampling (libjpeg 'fancy' upsampling): output
     sample centers sit at (i+0.5)/r − 0.5 in input coordinates with
@@ -376,6 +409,9 @@ def _assemble_output(
         raise JpegDecodeError(
             f"unsupported error: {len(out_planes)}-component JPEG is unsupported"
         )
+    if frame.get("rgb_direct"):
+        # Adobe transform=0 / literal RGB component ids: planes ARE RGB
+        return np.clip(np.round(np.stack(out_planes)), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -576,17 +612,31 @@ def _decode_progressive_scans(frame, scans, qtables):
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
     by_id = {c["id"]: c for c in comps}
+    _check_blocks_vs_entropy(
+        mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps),
+        sum(len(s) for scan in scans for s in scan["segments"]),
+    )
     coefs = {
         c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
         for c in comps
     }
+    # latch each component's quant table at its FIRST scan (r5 review;
+    # libjpeg's latch_quant_tables) — final-state tables only as fallback
+    # for components no scan ever referenced (their coefs stay zero)
+    latched: dict[int, np.ndarray] = {}
     for scan in scans:
+        for sc in scan["comps"]:
+            cid = sc["id"]
+            if cid not in latched and cid in by_id:
+                q0 = scan.get("qtables", {}).get(by_id[cid]["tq"])
+                if q0 is not None:
+                    latched[cid] = q0
         _decode_one_progressive_scan(
             scan, frame, by_id, coefs, mcus_x, mcus_y, max_h, max_v
         )
     planes = {}
     for c in comps:
-        q = qtables.get(c["tq"])
+        q = latched.get(c["id"], qtables.get(c["tq"]))
         if q is None:
             raise JpegDecodeError("Cannot parse JPEG: missing table")
         deq = coefs[c["id"]].astype(np.float64) * q  # zigzag-order dequant

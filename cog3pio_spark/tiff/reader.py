@@ -377,7 +377,11 @@ class CogReader:
                 "unsupported error: Photometric interpretation RGBPalette "
                 f"with bits per sample {bits_list} is unsupported"
             )
-        self.bands = self.samples if self.photometric != 2 else 3
+        # RGB ⇒ 3 (src/io/geotiff.rs:67-83), extended r5: RGB with declared
+        # extra samples (RGBA, SamplesPerPixel=4) keeps every sample — the
+        # old hard 3 truncated bands while the reshape consumed 4-sample
+        # rows, scrambling pixels
+        self.bands = self.samples if self.photometric != 2 else max(3, self.samples)
 
         key = (self.sample_format, self.bits)
         if key not in _DTYPES:

@@ -15,9 +15,12 @@ produce the reference's unsupported-colortype error fixture
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 
 import numpy as np
+
+_LITTLE = sys.byteorder == "little"
 
 # TIFF tag ids
 IMAGE_WIDTH = 256
@@ -37,6 +40,7 @@ TILE_LENGTH = 323
 TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
 SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = float
+EXTRA_SAMPLES = 338  # 2 = unassociated alpha
 MODEL_PIXEL_SCALE = 33550
 MODEL_TIEPOINT = 33922
 MODEL_TRANSFORMATION = 34264
@@ -253,6 +257,12 @@ def _image_section(
     ``base``. Returns (blob, ifd_offset_rel, next_ptr_pos_rel)."""
     bands, height, width = array.shape
     dt = array.dtype
+    # r5 review: the file header declares 'II' (little-endian) but tobytes()
+    # emits the ARRAY's byte order — a big-endian input (e.g. a '>u2' view
+    # from a network/interop source) wrote silently byte-swapped samples.
+    if dt.byteorder == ">" or (dt.byteorder == "=" and not _LITTLE):
+        array = array.astype(dt.newbyteorder("<"))
+        dt = array.dtype
     bits = dt.itemsize * 8
     sample_format = _SAMPLE_FORMAT_OF_KIND[dt.kind]
 
@@ -260,7 +270,11 @@ def _image_section(
     chunky = np.ascontiguousarray(np.moveaxis(array, 0, -1))
 
     if photometric is None:
-        photometric = 3 if palette else (2 if bands == 3 else 1)
+        # RGB for 3-band and RGBA-shaped 4-band (the resize path re-encodes
+        # decoded RGBA PNGs); gray/multiband otherwise. r5 review: 4-band
+        # used to default to BlackIsZero, which told external readers
+        # "grayscale" for what is really RGBA.
+        photometric = 3 if palette else (2 if bands in (3, 4) else 1)
 
     if compression not in _COMPRESSION_TAG:
         raise ValueError(f"unknown compression: {compression}")
@@ -332,11 +346,23 @@ def _image_section(
         add(TILE_BYTE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
     else:
         add(STRIP_OFFSETS, _TYPE_LONG, offsets)
-        add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
         add(ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
         add(STRIP_BYTE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
-    if tiled:
-        add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
+    # once, unconditionally (r5 review: previously emitted from both the
+    # striped else-branch and a trailing tiled-only if — copy-paste twins
+    # a future edit could silently desync; entries are sorted later)
+    add(SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
+    # r5 review: TIFF 6.0 requires ExtraSamples when SamplesPerPixel
+    # exceeds the photometric's base count (1 for gray, 3 for RGB) —
+    # gray+alpha and RGBA inputs (the live resize path re-encodes decoded
+    # RGBA PNGs) previously produced spec-invalid files external readers
+    # refuse or misrender. RGB extras = 2 (unassociated alpha, the RGBA
+    # shape); gray/multiband extras = 0 (unspecified — scientific bands
+    # are not alpha).
+    base_samples = 3 if photometric == 2 else 1
+    if photometric in (1, 2) and bands > base_samples:
+        kind = 2 if photometric == 2 else 0
+        add(EXTRA_SAMPLES, _TYPE_SHORT, [kind] * (bands - base_samples))
     add(PLANAR_CONFIG, _TYPE_SHORT, [1])
     if palette:
         cmap = list(range(256)) * 3  # 3*256 SHORT palette

@@ -78,3 +78,33 @@ def test_gif_through_spark_operators(spark):
     np.testing.assert_array_equal(
         CogReader(bytes(res["resized"])).to_numpy(), arr[:, yi][:, :, xi]
     )
+
+
+def test_offset_subrect_first_frame_composited():
+    """r5 review: image-descriptor offsets were discarded — a first frame
+    covering a sub-rectangle came back mispositioned with frame-sized (not
+    screen-sized) output. It must composite at (ix,iy) onto the logical
+    screen filled with the background color."""
+    import struct
+
+    # logical screen 4x3, GCT 2 entries (red, green), background index 1
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 3, 0x80, 1, 0)
+    gct = bytes([255, 0, 0, 0, 255, 0])
+    # frame at (1,1), 2x1, pixels [idx0, idx1]; min_code_size=2
+    desc = b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 1, 0)
+    # codes (width 3, LSB-first): clear(4), 0, 1, eoi(5) -> bytes 44 0A
+    lzw = bytes([2, 2, 0x44, 0x0A, 0])
+    raw = hdr + gct + desc + lzw + b"\x3b"
+    got = decode_gif(raw)
+    assert got.shape == (3, 3, 4)
+    exp = np.zeros((3, 3, 4), dtype=np.uint8)
+    exp[1, :, :] = 255  # background = green everywhere
+    exp[:, 1, 1] = [255, 0, 0]  # frame pixel 0 = red at (1,1)
+    exp[:, 1, 2] = [0, 255, 0]  # frame pixel 1 = green at (2,1)
+    np.testing.assert_array_equal(got, exp)
+
+    # out-of-bounds frame rect: loud typed error, not silent clipping
+    bad_desc = b"\x2c" + struct.pack("<HHHHB", 3, 1, 2, 1, 0)
+    bad = hdr + gct + bad_desc + lzw + b"\x3b"
+    with pytest.raises(GifDecodeError, match="exceeds logical screen"):
+        decode_gif(bad)

@@ -241,3 +241,74 @@ def test_progressive_restart_interval_segments():
     scan3 = dict(scan, ri=0, segments=[bytes([0b01101100])])  # two units
     _decode_one_progressive_scan(scan3, frame, by_id, coefs3, 2, 1, 1, 1)
     assert coefs3[1][0, 0, 0] == 3 and coefs3[1][0, 1, 0] == 6
+
+
+def _inject_after_soi(raw: bytes, segment: bytes) -> bytes:
+    assert raw[:2] == b"\xff\xd8"
+    return raw[:2] + segment + raw[2:]
+
+
+def test_adobe_transform_zero_skips_color_matrix():
+    """r5 review: 3-component frames were unconditionally YCbCr-converted —
+    an Adobe APP14 transform=0 stream stores its planes directly and came
+    out silently garbled. With APP14 t=0 injected, the decoder must emit
+    the raw planes: applying the (separately interop-pinned) YCbCr matrix
+    to them reproduces the normal decode, and the direct output itself
+    differs from it. (Java ImageIO refuses Adobe-t0 + 420 subsampling
+    outright — 'Unsupported Image Type' — so this is a self-consistency
+    pin, not an interop one.)"""
+    raw = open(os.path.join(DATA, "java_rgb420.jpg"), "rb").read()
+    app14 = b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe" + bytes(6) + bytes([0])
+    tagged = _inject_after_soi(raw, app14)
+    direct = decode_jpeg(tagged).astype(np.float64)
+    normal = decode_jpeg(raw).astype(np.int32)
+    assert direct.shape == normal.shape
+    y, cb, cr = direct[0], direct[1] - 128.0, direct[2] - 128.0
+    recomposed = np.clip(
+        np.round(
+            np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ]
+            )
+        ),
+        0,
+        255,
+    ).astype(np.int32)
+    # plane rounding happens before the matrix here (after, in the normal
+    # path) — bounded by the matrix row sums, well under 3
+    assert np.abs(recomposed - normal).max() <= 3
+    assert np.abs(direct.astype(np.int32) - normal).max() > 8
+
+
+def test_corrupt_dims_refused_before_allocation():
+    """r5 review: a tiny blob whose SOF claims 65535x65535 used to reach
+    multi-GB plane allocations (MemoryError escaping the taxonomy). The
+    blocks-vs-entropy-bytes guard must refuse it as JpegDecodeError."""
+    raw = bytearray(open(os.path.join(DATA, "java_gray.jpg"), "rb").read())
+    sof = bytes(raw).find(b"\xff\xc0")
+    assert sof > 0
+    raw[sof + 5 : sof + 9] = (65535).to_bytes(2, "big") * 2  # h, w
+    with pytest.raises(JpegDecodeError, match="corrupt\\s+dimensions"):
+        decode_jpeg(bytes(raw))
+    prog = bytearray(open(os.path.join(DATA, "java_gray_prog.jpg"), "rb").read())
+    sof2 = bytes(prog).find(b"\xff\xc2")
+    assert sof2 > 0
+    prog[sof2 + 5 : sof2 + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(JpegDecodeError, match="corrupt\\s+dimensions"):
+        decode_jpeg(bytes(prog))
+
+
+def test_progressive_qtable_latched_at_first_scan():
+    """r5 review: dequantization used the FINAL qtables — a mid-frame DQT
+    redefinition (spec-legal) retroactively corrupted every earlier scan.
+    Tables now latch per component at its first scan (libjpeg behavior), so
+    a garbage DQT injected before the last scan must change NOTHING."""
+    raw = open(os.path.join(DATA, "java_gray_prog.jpg"), "rb").read()
+    last_sos = raw.rfind(b"\xff\xda")
+    assert last_sos > raw.find(b"\xff\xda")  # really multi-scan
+    garbage_dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + b"\xff" * 64
+    patched = raw[:last_sos] + garbage_dqt + raw[last_sos:]
+    np.testing.assert_array_equal(decode_jpeg(patched), decode_jpeg(raw))

@@ -204,3 +204,85 @@ def test_png_palette_index_out_of_range():
            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
     with pytest.raises(PngDecodeError, match="palette index 200 out of range"):
         decode_png(raw)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", _z.crc32(ctype + body))
+    )
+
+
+def test_trns_palette_and_colorkey(spark):
+    """r5 review: tRNS was silently ignored — transparent palette/colorkey
+    PNGs decoded opaque with alpha dropped. Palette tRNS now yields RGBA,
+    gray/RGB colorkey an appended alpha band; both pinned against Java
+    ImageIO reading the same bytes (valid CRCs)."""
+    import struct
+    import zlib as _z
+
+    def imageio_argb(raw, w, h):
+        jvm = spark._jvm
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(raw))
+        assert bi is not None
+        out = np.zeros((4, h, w), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = bi.getRGB(x, y) & 0xFFFFFFFF
+                out[:, y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255, v >> 24]
+        return out
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # palette 2x2: indices [[0,1],[2,1]], entry 0 transparent, 1 half, 2 opaque
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([0, 128])  # entry 2 defaults to 255
+    idat = _z.compress(b"\x00\x00\x01\x00\x02\x01")
+    raw = (
+        sig + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"tRNS", trns) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    )
+    got = decode_png(raw)
+    assert got.shape == (4, 2, 2)
+    exp_a = np.array([[0, 128], [255, 128]], dtype=np.uint8)
+    np.testing.assert_array_equal(got[3], exp_a)
+    ref = imageio_argb(raw, 2, 2)
+    np.testing.assert_array_equal(got[3], ref[3])
+    # RGB must agree wherever not fully transparent (ImageIO zeroes
+    # fully-transparent pixels' color in some paths)
+    vis = exp_a > 0
+    for b in range(3):
+        np.testing.assert_array_equal(got[b][vis], ref[b][vis])
+
+    # gray colorkey 3x1: values [7, 9, 7], key 7 -> alpha 0
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    idat = _z.compress(b"\x00\x07\x09\x07")
+    raw = (
+        sig + _chunk(b"IHDR", ihdr) + _chunk(b"tRNS", struct.pack(">H", 7))
+        + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    )
+    got = decode_png(raw)
+    assert got.shape == (2, 1, 3)
+    np.testing.assert_array_equal(got[0], [[7, 9, 7]])
+    np.testing.assert_array_equal(got[1], [[0, 255, 0]])
+    ref = imageio_argb(raw, 3, 1)
+    np.testing.assert_array_equal(got[1], ref[3])
+
+    # RGB colorkey 2x1: first pixel matches key exactly
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    idat = _z.compress(b"\x00\x10\x20\x30\x10\x20\x31")
+    raw = (
+        sig + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", struct.pack(">HHH", 0x10, 0x20, 0x30))
+        + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    )
+    got = decode_png(raw)
+    assert got.shape == (4, 1, 2)
+    np.testing.assert_array_equal(got[3], [[0, 255]])
+    ref = imageio_argb(raw, 2, 1)
+    np.testing.assert_array_equal(got[3], ref[3])

@@ -305,3 +305,48 @@ def test_http_fetcher_error_taxonomy():
         _path_to_bytes("https://127.0.0.1:1/never.tif")
     with pytest.raises(TiffDecodeError, match="Cannot parse url"):
         _path_to_bytes("s3://bucket/key.tif")
+
+
+def test_writer_big_endian_input_roundtrip():
+    """r5 review: write_tiff declares 'II' but used to emit the ARRAY's
+    byte order verbatim — a big-endian ('>u2') input wrote byte-swapped
+    samples that any conformant reader returned as garbage."""
+    import io as _io
+
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    arr = (np.arange(60) * 257 % 65521).reshape(1, 6, 10).astype(">u2")
+    buf = _io.BytesIO()
+    write_tiff(buf, arr)
+    got = CogReader(buf.getvalue()).to_numpy()
+    np.testing.assert_array_equal(got, arr.astype(np.uint16))
+
+
+def test_writer_rgba_extra_samples_imageio_conformant(spark):
+    """r5 review: 4-band output used to be BlackIsZero with no ExtraSamples
+    (TIFF 6.0-invalid); now RGB + ExtraSamples=alpha. Java ImageIO — an
+    independent conformant reader — must read all four bands back exactly."""
+    import io as _io
+
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    rng = np.random.RandomState(77)
+    arr = rng.randint(0, 256, (4, 9, 13)).astype(np.uint8)
+    buf = _io.BytesIO()
+    write_tiff(buf, arr)
+    raw = buf.getvalue()
+    # tag 338 present with 1 SHORT value = 2 (unassociated alpha)
+    import struct as _struct
+
+    assert _struct.pack("<HHI", 338, 3, 1) + _struct.pack("<HH", 2, 0) in raw
+
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(raw)
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    assert bi is not None, "ImageIO refused the RGBA TIFF"
+    jr = bi.getRaster()
+    assert jr.getNumBands() == 4
+    for y in range(9):
+        for x in range(13):
+            for b in range(4):
+                assert jr.getSample(x, y, b) == int(arr[b, y, x]), (x, y, b)

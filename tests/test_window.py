@@ -320,11 +320,14 @@ def test_planar_and_extra_sample_guards(tiled_file):
     with pytest.raises(TiffDecodeError, match="planar configuration 2"):
         CogReader(bytes(raw))
 
-    # RGB-tagged 4-sample: windowed strip decode must reject like full
+    # RGB-tagged 4-sample (RGBA): r5 — decodes ALL FOUR samples, full and
+    # windowed (the r4 reject closed the bands=3-vs-4-sample scramble; the
+    # reader now keeps every declared sample instead, which is strictly
+    # better: the resize path re-encodes decoded RGBA PNGs this way)
+    arr4 = (np.arange(4 * 10 * 12) % 251).reshape(4, 10, 12).astype(np.uint8)
     buf2 = _io.BytesIO()
-    write_tiff(buf2, np.zeros((4, 10, 12), np.uint8), photometric=2)
+    write_tiff(buf2, arr4, photometric=2)
     r = CogReader(buf2.getvalue())
-    with pytest.raises(TiffDecodeError, match="failed to convert"):
-        r.to_numpy()
-    with pytest.raises(TiffDecodeError, match="failed to convert"):
-        r.to_numpy(window=(0, 0, 4, 4))
+    assert r.bands == 4
+    np.testing.assert_array_equal(r.to_numpy(), arr4)
+    np.testing.assert_array_equal(r.to_numpy(window=(0, 0, 4, 4)), arr4[:, :4, :4])
