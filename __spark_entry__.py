@@ -16,6 +16,7 @@ Oracle-match engineering notes (why these queries hash-match exactly):
 from __future__ import annotations
 
 import os
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,7 +236,9 @@ def q10_except_custkeys(spark, sf):
     o = _t(spark, sf, "orders")
     a = o.filter(F.date_format("o_orderdate", "yyyy") == "1995").select("o_custkey")
     b = o.filter(F.date_format("o_orderdate", "yyyy") == "1996").select("o_custkey")
-    return a.distinct().exceptAll(b.distinct()).withColumnRenamed("o_custkey", "custkey")
+    # subtract == EXCEPT DISTINCT (r5 review: distinct().exceptAll(distinct())
+    # spelled the same set operation with three operators)
+    return a.subtract(b).withColumnRenamed("o_custkey", "custkey")
 
 
 def q11_json_extract(spark, sf):
@@ -415,39 +418,46 @@ def q22_cell_assignment(spark, sf):
         C.s2_range_max(F.col("s2_par")).alias("rng_hi"),
     )
 
-    def _cnt(name, cond):
-        return b.agg(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("val")
-        ).select(F.lit(name).alias("invariant"), "val")
+    def _viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    rows = [
-        _cnt(
-            "hex_parent_path_mismatch",
+    # ONE aggregation pass + stack (r5 review: six separate agg jobs over
+    # the same checkpointed frame), and null_cells covers ALL five assigned
+    # columns — a regression nulling only hex5/s2_10 would otherwise hide
+    # inside null-propagating != conditions
+    agg = b.agg(
+        _viol(
             C.h3x_parent(F.col("hex8"), 5)
-            != C.h3x_parent(C.h3x_parent(F.col("hex8"), 7), 5),
-        ),
-        _cnt(
-            "multi_res_mismatch",
+            != C.h3x_parent(C.h3x_parent(F.col("hex8"), 7), 5)
+        ).alias("hex_parent_path_mismatch"),
+        _viol(
             (F.element_at("multi", 1) != F.col("hex5"))
-            | (F.element_at("multi", 4) != F.col("hex8")),
-        ),
-        _cnt(
-            "null_cells",
-            F.col("s2_12").isNull() | F.col("hex8").isNull() | F.col("multi").isNull(),
-        ),
-        _cnt("s2_parent_mismatch", F.col("s2_par") != F.col("s2_10")),
-        _cnt(
-            "s2_range_violation",
-            (F.col("s2_12") < F.col("rng_lo")) | (F.col("s2_12") > F.col("rng_hi")),
-        ),
-        pts.agg(F.count("*").alias("val")).select(
-            F.lit("n_points").alias("invariant"), "val"
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("invariant")
+            | (F.element_at("multi", 4) != F.col("hex8"))
+        ).alias("multi_res_mismatch"),
+        F.count("*").alias("n_points"),
+        _viol(
+            F.col("s2_12").isNull()
+            | F.col("s2_10").isNull()
+            | F.col("hex8").isNull()
+            | F.col("hex5").isNull()
+            | F.col("multi").isNull()
+        ).alias("null_cells"),
+        _viol(F.col("s2_par") != F.col("s2_10")).alias("s2_parent_mismatch"),
+        _viol(
+            (F.col("s2_12") < F.col("rng_lo")) | (F.col("s2_12") > F.col("rng_hi"))
+        ).alias("s2_range_violation"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, "
+            "'hex_parent_path_mismatch', hex_parent_path_mismatch, "
+            "'multi_res_mismatch', multi_res_mismatch, "
+            "'n_points', n_points, "
+            "'null_cells', null_cells, "
+            "'s2_parent_mismatch', s2_parent_mismatch, "
+            "'s2_range_violation', s2_range_violation) AS (invariant, val)"
+        )
+    ).orderBy("invariant")
 
 
 def q23_minhash_dupes(spark, sf):
@@ -633,7 +643,14 @@ def q31_cell_range_join(spark, sf):
             )
         ],
         ["anchor_key", "range_lo", "range_hi"],
-    ).dropDuplicates(["range_lo"])
+    )
+    # r5 review: dropDuplicates(["range_lo"]) kept a partition-order-
+    # dependent anchor_key when two anchors share a level-8 parent —
+    # deterministic min-anchor per range instead (rows-only outputs must
+    # still be run-to-run stable)
+    ranges = ranges.groupBy("range_lo", "range_hi").agg(
+        F.min("anchor_key").alias("anchor_key")
+    )
     out = cell_prefix_range_join(pts, ranges, prefix_level=6, n_salt=4)
     return out.groupBy("anchor_key").agg(F.count("*").alias("n_in_range"))
 
@@ -788,7 +805,7 @@ def q49_resize_media(spark, sf):
     )
     extra = spark.createDataFrame(
         [
-            (name, open(os.path.join(data_dir, name), "rb").read())
+            (name, pathlib.Path(data_dir, name).read_bytes())
             for name in (
                 "java_gray.jpg", "java_rgb420.jpg", "java_gray_prog.jpg",
                 "java_gray.png", "java_rgba.png", "java_indexed.gif",
@@ -961,7 +978,7 @@ def q56_image_codecs(spark, sf):
         "java_indexed.gif",
     )
     rows = [
-        (name, open(os.path.join(data_dir, name), "rb").read()) for name in names
+        (name, pathlib.Path(data_dir, name).read_bytes()) for name in names
     ]
     webp_bits = 63 | (47 << 14)  # 64x48, no alpha
     rows += [
@@ -1135,8 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is fitted to the window — former q53 merged into q25,
     # q37 into q30, q54+q55 into q54_av_media_meta, q56/q57/q58 into
     # q56_image_codecs; q34/q35/q40 retired (pytest-pinned invariants, see
-    # the comment at their old definition site). All 37 oracle-matched
-    # queries come first; the 13 rows-only queries fill the tail so any
+    # the comment at their old definition site). All 40 oracle-matched
+    # queries come first (r5: q22/q33 invariant-style, q50 lossless-config
+    # conversions); the 10 rows-only queries fill the tail so any
     # future snapshot truncation costs a weak check, never an oracle row.
     return {
         # --- oracle-matched (DuckDB SQL in oracle_sql()) -------------------
@@ -1211,6 +1229,58 @@ _WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
 
 def _lang_score(lang: str) -> str:
     return f"len(list_filter({_WORDS}, w -> w in {_MARKERS[lang]}))"
+
+
+def _topk_cosine_oracle(ids: str, k: int, score: str = "cosine", where: str = "") -> str:
+    """Brute-force cosine top-k oracle (r5: one source for q17/q32/q36/q48/
+    q50 — previously five hand-copied blocks a tiebreaker fix would have to
+    chase through). ``where`` restricts the scanned corpus (q50's lossless
+    cap); ``score`` matches the Spark side's score column alias."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id IN ({ids})
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                               e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN q
+            {where}
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+               round(cos, 6) AS {score}
+        FROM scored WHERE rank <= {k}
+    """
+
+
+def _knn_haversine_oracle(query_pred: str, k: int) -> str:
+    """Exact haversine kNN oracle over the synthetic customer points (r5:
+    one source for q20/q21/q43 — same dedup rationale as the cosine
+    helper). ``query_pred`` selects the query subset."""
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
+        ), q AS (
+            SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
+            FROM pts WHERE {query_pred}
+        ), d AS (
+            SELECT q.query_id, p.c_custkey AS point_id,
+                   2.0 * 6378137.0 * asin(sqrt(
+                       pow(sin(radians(p.lat - q.q_lat) / 2), 2)
+                       + cos(radians(q.q_lat)) * cos(radians(p.lat))
+                         * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
+                   )) AS dist_m
+            FROM q CROSS JOIN pts p
+        )
+        SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dist_m ASC, point_id ASC) AS rank
+            FROM d
+        ) WHERE rank <= {k}
+    """
 
 
 _LANG_PRED = f"""
@@ -1311,7 +1381,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
         """,
         "q11_json_extract": """
-            SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
+            -- TRY_CAST (r5 review): DuckDB regexp_extract returns '' on no
+            -- match and CAST('') hard-errors, while Spark's ANSI-off cast
+            -- yields NULL — TRY_CAST makes a "k"-less props row a NULL
+            -- bucket on both sides instead of aborting the oracle
+            SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
                    COUNT(*) AS n
             FROM events GROUP BY 1
         """,
@@ -1375,21 +1449,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.10
             ORDER BY id_a, id_b
         """,
-        "q17_ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id IN (1, 2, 3)
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                                                   e.vec_id ASC) AS rank
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
-            FROM scored WHERE rank <= 10
-        """,
+        "q17_ann_topk": _topk_cosine_oracle("1, 2, 3", 10),
         "q18_embedding_top_pairs": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1437,21 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         # single flips + the pair flip): every vector is in exactly one
         # bucket, so each query scores the whole corpus — exact top-k, same
         # brute-force oracle shape as q17/q36 (r4 conversion, VERDICT r3 #4)
-        "q32_lsh_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id IN (5, 6)
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                                                   e.vec_id ASC) AS rank
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
-            FROM scored WHERE rank <= 5
-        """,
+        "q32_lsh_topk": _topk_cosine_oracle("5, 6", 5),
         # q22: invariant-style oracle (r5, VERDICT r4 #5, same recipe as
         # q33) — DuckDB pins the assignment algebra (hierarchy consistency,
         # range containment, null-freedom) plus the input-count anchor
@@ -1481,58 +1527,16 @@ def oracle_sql() -> dict[str, str]:
         # q36/q48 probe ALL inverted lists (see their docstrings): every
         # vector is in exactly one list, so the scored candidate set is the
         # whole corpus — exact top-k, same brute-force oracle shape as q17
-        "q36_ivf_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id IN (10, 11)
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                                                   e.vec_id ASC) AS rank
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
-            FROM scored WHERE rank <= 5
-        """,
-        "q48_ivf2_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id IN (10, 11)
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                                                   e.vec_id ASC) AS rank
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
-            FROM scored WHERE rank <= 5
-        """,
+        "q36_ivf_topk": _topk_cosine_oracle("10, 11", 5),
+        "q48_ivf2_topk": _topk_cosine_oracle("10, 11", 5),
         # q50: PQ at a lossless configuration (corpus 200 ≤ k=256 codewords
         # per subspace, train sample covers the corpus) — every corpus
         # subvector is its own codeword, reconstruction is exact, ADC score
         # == cosine ⇒ brute-force oracle over the capped corpus (r5
         # conversion, VERDICT r4 #4; see q50's docstring)
-        "q50_pq_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id IN (10, 11)
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos,
-                       ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
-                                                   e.vec_id ASC) AS rank
-                FROM embeddings e CROSS JOIN q
-                WHERE e.vec_id < 200
-            )
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
-                   round(cos, 6) AS pq_score
-            FROM scored WHERE rank <= 5
-        """,
+        "q50_pq_topk": _topk_cosine_oracle(
+            "10, 11", 5, score="pq_score", where="WHERE e.vec_id < 200"
+        ),
         # q51 = LSH-blocked near-dup pairs; deterministically equal to the
         # exact threshold scan at sf0.01 (16 seed-fixed tables recover every
         # pair ≥ 0.45), so it gets the exact all-pairs oracle like q47
@@ -1545,6 +1549,13 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
         """,
+        # q19 CONSTRAINT (r5 review): this oracle is double-inclusive on box
+        # edges while pip_join's ray-cast assigns a shared-edge point to ONE
+        # box — sound only while no synthetic point lands on an interior
+        # shared edge (lng=-90/0/60, lat per _BOXES). Verified at sf0.01 AND
+        # sf0.1: the only boundary point is custkey 0 on box0's exclusive
+        # corner. If _LAT_SQL/_LNG_SQL or _BOXES ever change, re-run that
+        # check before trusting a q19 hash mismatch.
         "q19_pip_boxes": f"""
             WITH pts AS (
                 SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
@@ -1560,75 +1571,12 @@ def oracle_sql() -> dict[str, str]:
         # whenever ring coverage holds (q35 pins 0 ring-vs-exact
         # disagreements); this exact haversine oracle makes the driver gate
         # itself the exactness regression check.
-        "q21_knn_ring": f"""
-            WITH pts AS (
-                SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
-            ), q AS (
-                SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
-                FROM pts WHERE c_custkey % 100 = 0
-            ), d AS (
-                SELECT q.query_id, p.c_custkey AS point_id,
-                       2.0 * 6378137.0 * asin(sqrt(
-                           pow(sin(radians(p.lat - q.q_lat) / 2), 2)
-                           + cos(radians(q.q_lat)) * cos(radians(p.lat))
-                             * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
-                       )) AS dist_m
-                FROM q CROSS JOIN pts p
-            )
-            SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                             ORDER BY dist_m ASC, point_id ASC) AS rank
-                FROM d
-            ) WHERE rank <= 5
-        """,
-        "q20_knn": f"""
-            WITH pts AS (
-                SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
-            ), q AS (
-                SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
-                FROM pts WHERE c_custkey IN (1, 2, 3)
-            ), d AS (
-                SELECT q.query_id, p.c_custkey AS point_id,
-                       2.0 * 6378137.0 * asin(sqrt(
-                           pow(sin(radians(p.lat - q.q_lat) / 2), 2)
-                           + cos(radians(q.q_lat)) * cos(radians(p.lat))
-                             * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
-                       )) AS dist_m
-                FROM q CROSS JOIN pts p
-            )
-            SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                             ORDER BY dist_m ASC, point_id ASC) AS rank
-                FROM d
-            ) WHERE rank <= 5
-        """,
+        "q21_knn_ring": _knn_haversine_oracle("c_custkey % 100 = 0", 5),
+        "q20_knn": _knn_haversine_oracle("c_custkey IN (1, 2, 3)", 5),
         # q43: sort-merge kNN with scan_width covering the k-NN radius on
         # this corpus — exact, so it shares q20's haversine oracle shape
         # (every-200th-customer query set, k=3)
-        "q43_knn_sort_merge": f"""
-            WITH pts AS (
-                SELECT c_custkey, {_LAT_SQL} AS lat, {_LNG_SQL} AS lng FROM customer
-            ), q AS (
-                SELECT c_custkey AS query_id, lat AS q_lat, lng AS q_lng
-                FROM pts WHERE c_custkey % 200 = 0
-            ), d AS (
-                SELECT q.query_id, p.c_custkey AS point_id,
-                       2.0 * 6378137.0 * asin(sqrt(
-                           pow(sin(radians(p.lat - q.q_lat) / 2), 2)
-                           + cos(radians(q.q_lat)) * cos(radians(p.lat))
-                             * pow(sin(radians(p.lng - q.q_lng) / 2), 2)
-                       )) AS dist_m
-                FROM q CROSS JOIN pts p
-            )
-            SELECT query_id, rank, point_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                             ORDER BY dist_m ASC, point_id ASC) AS rank
-                FROM d
-            ) WHERE rank <= 3
-        """,
+        "q43_knn_sort_merge": _knn_haversine_oracle("c_custkey % 200 = 0", 3),
         "q27_semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
