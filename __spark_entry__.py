@@ -363,6 +363,18 @@ def q20_knn(spark, sf):
 
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 def q21_knn_ring(spark, sf):
+    """Ring-expansion kNN against the exact haversine oracle.
+
+    Density note (r5 profiling): the synthetic customer points are
+    near-uniform over the globe (~1 point per res-5 cell even at sf0.1),
+    so ring coverage comes up short for most queries and the operator
+    exercises its full escalation → exact-brute-fallback path — which is
+    exactly why the hash-match against the exact oracle holds at ANY
+    density (measured: retuning to res 2 serves queries from the ring but
+    yields 2-11 genuinely different neighbours, refused). The
+    ring-SERVING path's exactness on locally dense data is pinned
+    separately by tests/test_knn.py (dense fixtures + certificate
+    soundness)."""
     from cog3pio_spark.operators.knn import knn_join
 
     pts = _cust_points(spark, sf)

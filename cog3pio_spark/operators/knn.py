@@ -371,25 +371,41 @@ def knn_join(
     # checkpointed rather than recomputed per consumer.
     ranked = ring_phase(q, ring).localCheckpoint(eager=True)
     short_q = shortfall(q, ranked)
-    escalated = ring_phase(short_q, ring * 3)
-    ranked = (
-        ranked.join(short_q.select(query_id), query_id, "left_anti")
-        .unionByName(escalated)
-        .localCheckpoint(eager=True)
-    )
-    short = shortfall(q, ranked).select(query_id, "q_lat", "q_lng")
-    brute = (
-        F.broadcast(short)
-        .crossJoin(p.select(point_id, "p_lat", "p_lng"))
-        .withColumn(
-            "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
+    # r5: skip the escalation/brute machinery entirely when NO query came
+    # up short (the common case — ring coverage is sized for it). The
+    # isEmpty probes are one driver aggregate over a checkpointed
+    # ≤|queries|-row frame each; what they skip is stage launches against
+    # the FULL points table (the brute tail is a whole points pass at
+    # scale). Measured ~4.0 → ~2.6 s warm on the sf0.1 ring query.
+    if short_q.isEmpty():
+        out = ranked
+        short = short_q.select(query_id, "q_lat", "q_lng")
+    else:
+        escalated = ring_phase(short_q, ring * 3)
+        ranked = (
+            ranked.join(short_q.select(query_id), query_id, "left_anti")
+            .unionByName(escalated)
+            .localCheckpoint(eager=True)
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", point_id, "dist_m")
-    )
-    covered = ranked.join(short.select(query_id), query_id, "left_anti")
-    out = covered.unionByName(brute)
+        short = shortfall(q, ranked).select(query_id, "q_lat", "q_lng")
+        if short.isEmpty():
+            out = ranked
+        else:
+            brute = (
+                F.broadcast(short)
+                .crossJoin(p.select(point_id, "p_lat", "p_lng"))
+                .withColumn(
+                    "dist_m",
+                    haversine_m(
+                        F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")
+                    ),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, "rank", point_id, "dist_m")
+            )
+            covered = ranked.join(short.select(query_id), query_id, "left_anti")
+            out = covered.unionByName(brute)
 
     if not with_certificate:
         return out
