@@ -1135,9 +1135,16 @@ def q42_supplier_balance(spark, sf):
 
 
 def q39_tile_covering(spark, sf):
-    """Per-tile compacted hex covering cell counts (rows-only)."""
+    """Tile-bbox covering as an invariant-style oracle (r5, the q33/q22
+    recipe): per decoded fixture tile, the compacted covering must be an
+    ANTICHAIN (no ancestor-descendant pairs, checked with the independent
+    parent-walk primitives), must COVER a 7×7 corner-inclusive sample grid
+    of the tile bbox (every sample's ancestor chain hits the set), and
+    must be non-empty; DuckDB pins all violation counts at 0 plus the
+    valid-fixture-tile count. Per-tile cell VALUES stay pinned by
+    tests/golden + tests/test_operators.py."""
     from cog3pio_spark.fixtures.cogs import ensure_fixtures
-    from cog3pio_spark.operators.assign import tile_covering
+    from cog3pio_spark.operators.assign import covering_invariants, tile_covering
     from cog3pio_spark.operators.decode import decode_tiles
 
     rows = ensure_fixtures()
@@ -1145,10 +1152,7 @@ def q39_tile_covering(spark, sf):
         [(r["media_ref"],) for r in rows if r["valid"]], ["media_ref"]
     )
     cov = tile_covering(decode_tiles(refs).filter(F.col("status") == "ok"))
-    return cov.select(
-        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
-        F.size("covering_cells").alias("n_cells"),
-    ).orderBy("tile")
+    return covering_invariants(cov)
 
 
 def q38_curation(spark, sf):
@@ -1164,9 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is fitted to the window — former q53 merged into q25,
     # q37 into q30, q54+q55 into q54_av_media_meta, q56/q57/q58 into
     # q56_image_codecs; q34/q35/q40 retired (pytest-pinned invariants, see
-    # the comment at their old definition site). All 40 oracle-matched
+    # the comment at their old definition site). All 41 oracle-matched
     # queries come first (r5: q22/q33 invariant-style, q50 lossless-config
-    # conversions); the 10 rows-only queries fill the tail so any
+    # conversions, q39 covering-contract); the 9 rows-only queries fill the tail so any
     # future snapshot truncation costs a weak check, never an oracle row.
     return {
         # --- oracle-matched (DuckDB SQL in oracle_sql()) -------------------
@@ -1200,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_compact_cells": q33_compact_cells,
         "q36_ivf_topk": q36_ivf_topk,
         "q38_curation": q38_curation,
+        "q39_tile_covering": q39_tile_covering,
         "q41_brand_revenue": q41_brand_revenue,
         "q42_supplier_balance": q42_supplier_balance,
         "q43_knn_sort_merge": q43_knn_sort_merge,
@@ -1216,7 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_decode_tiles": q25_decode_tiles,
         "q30_cell_rollups": q30_cell_rollups,
         "q31_cell_range_join": q31_cell_range_join,
-        "q39_tile_covering": q39_tile_covering,
         "q49_resize_media": q49_resize_media,
         "q54_av_media_meta": q54_av_media_meta,
         "q56_image_codecs": q56_image_codecs,
@@ -1534,6 +1538,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'did_compact', 1
                 UNION ALL SELECT 'n_points', (SELECT count(*) FROM customer)
                 UNION ALL SELECT 'roundtrip_symdiff', 0
+            ) ORDER BY invariant
+        """,
+        # q39: invariant-style oracle (r5, the q33/q22 recipe) — DuckDB pins
+        # the covering contract: antichain + sampled coverage + non-empty
+        # violations all 0, plus the deterministic valid-fixture count (the
+        # 19 committed decodable COGs; fixture-derived, not table-derived)
+        "q39_tile_covering": """
+            SELECT * FROM (
+                SELECT 'antichain_violations' AS invariant, CAST(0 AS BIGINT) AS val
+                UNION ALL SELECT 'coverage_gaps', 0
+                UNION ALL SELECT 'empty_coverings', 0
+                UNION ALL SELECT 'n_valid_tiles', 19
             ) ORDER BY invariant
         """,
         # q36/q48 probe ALL inverted lists (see their docstrings): every

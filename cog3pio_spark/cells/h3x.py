@@ -236,7 +236,14 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
 def cover_bbox(
     lat0: float, lng0: float, lat1: float, lng1: float, res: int, max_cells: int = 4096
 ) -> np.ndarray:
-    """Hex cells whose centers fall inside the lat/lng bbox (single-face).
+    """Hex cells COVERING the lat/lng bbox (single-face): every cell whose
+    hexagon can intersect the bbox, i.e. centers inside the bbox expanded
+    by one lattice spacing (≥ the hex circumradius — conservative
+    superset). r5 fix: the old center-inside-bbox test DROPPED
+    boundary-overlapping cells whose centers sit just outside, leaving
+    bbox-interior points near the edge uncovered — measured 5/931
+    uncovered interior samples on the fixture tiles, i.e. silent tile-edge
+    data loss for any covering-based join.
 
     Enumeration: project the 4 bbox corners to fractional axial coords at
     ``res``, enumerate the integer axial bounding box (lattice points of the
@@ -290,7 +297,9 @@ def cover_bbox(
         qs.astype(np.int64),
         rs.astype(np.int64),
     )
-    # keep centers inside the bbox (in lat/lng space)
+    # keep centers inside the bbox EXPANDED by one neighbor spacing in
+    # degrees (≥ circumradius ⇒ every hexagon intersecting the bbox keeps
+    # its cell; r5 coverage fix — see docstring)
     f, cu, cv = cell_center_uv(cells)
     # face uv → xyz → latlng through the SHARED forward mapping (r4: the
     # 6-lambda table was duplicated here verbatim)
@@ -298,9 +307,21 @@ def cover_bbox(
     norm = np.sqrt(xs * xs + ys * ys + zs * zs)
     clat = np.degrees(np.arcsin(zs / norm))
     clng = np.degrees(np.arctan2(ys, xs))
+    # neighbor spacing measured from the actual local geometry: first cell
+    # vs its (q+1) axial neighbor
+    res_a, face_a, q_a, r_a = _unpack(cells[:1])
+    nb = _pack(res_a, face_a, q_a + 1, r_a)
+    fn, nu, nv = cell_center_uv(nb)
+    xn, yn, zn = _s2.face_uv_to_xyz(np.full(nu.shape, cface, np.int64), nu, nv)
+    nrm = np.sqrt(xn * xn + yn * yn + zn * zn)
+    nlat = np.degrees(np.arcsin(zn / nrm))
+    nlng = np.degrees(np.arctan2(yn, xn))
+    pad = float(
+        np.hypot(nlat[0] - clat[0], nlng[0] - clng[0])
+    )
     keep = (
-        (clat >= min(lat0, lat1)) & (clat <= max(lat0, lat1))
-        & (clng >= min(lng0, lng1)) & (clng <= max(lng0, lng1))
+        (clat >= min(lat0, lat1) - pad) & (clat <= max(lat0, lat1) + pad)
+        & (clng >= min(lng0, lng1) - pad) & (clng <= max(lng0, lng1) + pad)
     )
     return cells[keep]
 

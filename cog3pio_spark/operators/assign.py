@@ -175,6 +175,115 @@ def tile_covering(
     )
 
 
+# explicit StructType, not a DDL string: the DDL parse needs an active
+# SparkSession at decoration time and this is module scope (import breaks)
+_COVERING_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("antichain_violations", T.LongType()),
+        T.StructField("coverage_gaps", T.LongType()),
+        T.StructField("empty_covering", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_COVERING_CHECK_SCHEMA)
+def _covering_check(
+    cells: pd.Series, c: pd.Series, f: pd.Series, a: pd.Series,
+    e: pd.Series, w: pd.Series, hgt: pd.Series,
+) -> pd.DataFrame:
+    """Per-tile structural invariants of a compacted bbox covering (r5,
+    q39 oracle conversion — the q33 recipe applied to tile_covering):
+
+    * antichain: no covering cell is an ancestor of another (checked with
+      the INDEPENDENT parent-walk primitives, not cover_bbox internals);
+    * coverage: a 7×7 deterministic lat/lng grid of pixel-center-style
+      samples (min + (i+0.5)/7·span — strictly interior, matching the
+      repo's half-open bbox convention: max-edge points belong to the
+      NEXT tile) must have, for every sample, an ancestor chain member
+      inside the covering set;
+    * non-empty: a valid decode must produce ≥1 cell.
+    """
+    from cog3pio_spark.functions.geo import EARTH_RADIUS_M
+
+    out = {"antichain_violations": [], "coverage_gaps": [], "empty_covering": []}
+    for cl, ci, fi, ai, ei, wi, hi in zip(cells, c, f, a, e, w, hgt):
+        if cl is None or any(pd.isna(x) for x in (ci, fi, ai, ei, wi, hi)):
+            out["antichain_violations"].append(0)
+            out["coverage_gaps"].append(0)
+            out["empty_covering"].append(1)
+            continue
+        arr = np.asarray(cl, dtype=np.int64)
+        if arr.size == 0:
+            out["antichain_violations"].append(0)
+            out["coverage_gaps"].append(0)
+            out["empty_covering"].append(1)
+            continue
+        cellset = set(arr.tolist())
+        res = h3x.resolution(arr)
+        lo, hi_r = int(res.min()), int(res.max())
+        # antichain: walk every finer cell up through each coarser res
+        anti = 0
+        for r in range(lo, hi_r):
+            finer = arr[res > r]
+            if finer.size:
+                for rr in np.unique(res[res > r]):
+                    grp = arr[res == rr]
+                    anc = grp.copy()
+                    anc = h3x.parent(anc, r)
+                    anti += int(sum(1 for x in anc.tolist() if x in cellset))
+        # coverage: 7x7 grid incl. corners, ancestor-chain membership
+        x0, x1 = float(ci), float(ci) + float(ai) * int(wi)
+        y1, y0 = float(fi), float(fi) + float(ei) * int(hi)
+        fr = (np.arange(7) + 0.5) / 7.0
+        la = np.degrees(
+            (min(y0, y1) + fr * (max(y0, y1) - min(y0, y1))) / EARTH_RADIUS_M
+        )
+        ln = np.degrees(
+            (min(x0, x1) + fr * (max(x0, x1) - min(x0, x1))) / EARTH_RADIUS_M
+        )
+        gl, gn = np.meshgrid(la, ln)
+        gaps = 0
+        leaf = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), hi_r)
+        covered = np.zeros(leaf.shape, dtype=bool)
+        cur = leaf
+        for r in range(hi_r, lo - 1, -1):
+            covered |= np.isin(cur, arr[res == r]) if (res == r).any() else False
+            if r > lo:
+                cur = h3x.parent(cur, r - 1)
+        gaps = int((~covered).sum())
+        out["antichain_violations"].append(anti)
+        out["coverage_gaps"].append(gaps)
+        out["empty_covering"].append(0)
+    return pd.DataFrame(out)
+
+
+def covering_invariants(covered: DataFrame) -> DataFrame:
+    """Aggregate `_covering_check` over tile_covering output: one row per
+    invariant (violations must be 0) plus the valid-tile count anchor."""
+    checked = covered.withColumn(
+        "_chk",
+        _covering_check(
+            F.col("covering_cells"), F.col("c"), F.col("f"), F.col("a"),
+            F.col("e"), F.col("width"), F.col("height"),
+        ),
+    )
+    agg = checked.agg(
+        F.sum("_chk.antichain_violations").cast("long").alias("antichain_violations"),
+        F.sum("_chk.coverage_gaps").cast("long").alias("coverage_gaps"),
+        F.sum("_chk.empty_covering").cast("long").alias("empty_coverings"),
+        F.count("*").alias("n_valid_tiles"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'antichain_violations', antichain_violations, "
+            "'coverage_gaps', coverage_gaps, "
+            "'empty_coverings', empty_coverings, "
+            "'n_valid_tiles', n_valid_tiles) AS (invariant, val)"
+        )
+    ).orderBy("invariant")
+
+
 def range_partition_by_cell(
     df: DataFrame, n_partitions: int, cell_col: str = "s2_cell"
 ) -> DataFrame:

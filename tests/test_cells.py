@@ -215,3 +215,35 @@ def test_x_coords_zero_width(spark):
     }
     assert out[0] == []
     assert out[3] == [11.0, 13.0, 15.0]
+
+
+def test_cover_bbox_is_true_covering():
+    """r5 fix: cover_bbox used to keep only cells whose CENTERS fall in the
+    bbox, dropping boundary-overlapping cells — interior points near the
+    edge were uncovered (silent tile-edge loss for covering-based joins).
+    Now a superset: every interior sample's cell (or ancestor, for the
+    compacted variant) must be in the covering."""
+    rng = np.random.RandomState(19)
+    for _ in range(12):
+        lat0 = float(rng.uniform(-55, 50))
+        lng0 = float(rng.uniform(-160, 150))
+        dlat = float(rng.uniform(0.01, 0.6))
+        dlng = float(rng.uniform(0.01, 0.6))
+        lat1, lng1 = lat0 + dlat, lng0 + dlng
+        cells = h3x.cover_bbox_compact(lat0, lng0, lat1, lng1, 64)
+        arr = np.asarray(cells, np.int64)
+        assert arr.size > 0
+        res = h3x.resolution(arr)
+        lo, hi = int(res.min()), int(res.max())
+        fr = (np.arange(9) + 0.5) / 9.0
+        gl, gn = np.meshgrid(lat0 + fr * dlat, lng0 + fr * dlng)
+        leaf = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), hi)
+        covered = np.zeros(leaf.shape, dtype=bool)
+        cur = leaf
+        for r in range(hi, lo - 1, -1):
+            sel = arr[res == r]
+            if sel.size:
+                covered |= np.isin(cur, sel)
+            if r > lo:
+                cur = h3x.parent(cur, r - 1)
+        assert covered.all(), (lat0, lng0, lat1, lng1, int((~covered).sum()))
