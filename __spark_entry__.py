@@ -481,9 +481,41 @@ def q23_minhash_dupes(spark, sf):
 
 
 def q24_simhash_dupes(spark, sf):
-    from cog3pio_spark.operators.dedupe import simhash_dupes
+    """Blocked simhash near-dup pairs as a dual-implementation oracle (r5
+    conversion, the q31 recipe): simhash64 itself has no SQL twin (numpy
+    bit-vote over the repo's rolling shingle hash — a SQL re-expression
+    would be a second hand-rolled kernel, not an oracle), but the BLOCKING
+    machinery's completeness contract does: the multi-index pigeonhole
+    path must return EXACTLY the pairs of the O(n²) Hamming scan. DuckDB
+    pins blocked_vs_exact_diff = 0 (both-ways exceptAll in Spark),
+    non-vacuity, and the corpus-count anchor. Per-pair values remain
+    pinned by tests/test_training_ops.py::
+    test_simhash_blocked_equals_exact_scan."""
+    from cog3pio_spark.operators.dedupe import (
+        simhash_dupes,
+        simhash_hamming_pairs_exact,
+    )
 
-    return simhash_dupes(_t(spark, sf, "documents"), max_hamming=6)
+    docs = _t(spark, sf, "documents")
+    blocked = simhash_dupes(docs, max_hamming=6).select("id_a", "id_b", "hamming")
+    exact = simhash_hamming_pairs_exact(docs, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+    blocked = blocked.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
+    diff = (
+        blocked.exceptAll(exact)
+        .unionByName(exact.exceptAll(blocked))
+        .agg(F.count("*").cast("long").alias("val"))
+        .select(F.lit("blocked_vs_exact_diff").alias("invariant"), "val")
+    )
+    nonzero = blocked.agg(
+        F.when(F.count("*") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("val")
+    ).select(F.lit("n_pairs_nonzero").alias("invariant"), "val")
+    n_docs = docs.agg(F.count("*").cast("long").alias("val")).select(
+        F.lit("n_docs").alias("invariant"), "val"
+    )
+    return diff.unionByName(nonzero).unionByName(n_docs).orderBy("invariant")
 
 
 def q25_decode_tiles(spark, sf):
@@ -631,8 +663,20 @@ def q30_cell_rollups(spark, sf):
 
 
 def q31_cell_range_join(spark, sf):
-    """Salted prefix range join: customer points vs level-8 cell ranges of
-    every 50th customer (rows-only: S2 ranges not SQL-expressible)."""
+    """Salted prefix range join as a dual-implementation oracle (r5
+    conversion): S2 ranges are not SQL-expressible, so DuckDB instead pins
+    the EQUIVALENCE of the scale machinery (prefix-equi rewrite + salt +
+    sign-split, `cell_prefix_range_join`) against the executable spec (a
+    plain theta join on the same ranges) computed side-by-side in Spark:
+
+    * rewrite_vs_theta_diff = 0 — the two joins' (point, anchor) multisets
+      are identical (both-ways exceptAll count);
+    * n_matches_nonzero = 1 — the comparison is non-vacuous (the join
+      actually matched rows);
+    * n_points / n_queries — SQL-computable input anchors.
+
+    The theta-join spec side is a broadcast-nested-loop over ≤|queries|
+    ranges — fine at gate scale, never the production path."""
     import numpy as np
 
     from cog3pio_spark.cells import s2
@@ -641,7 +685,7 @@ def q31_cell_range_join(spark, sf):
 
     pts = _cust_points(spark, sf).withColumn(
         "s2_cell", C.s2_cell(F.col("lat"), F.col("lng"), 12)
-    )
+    ).localCheckpoint(eager=True)
     anchors = pts.filter(F.col("c_custkey") % 50 == 0).select("c_custkey", "s2_cell").collect()
     cells = s2.from_signed(np.array([r["s2_cell"] for r in anchors], dtype=np.int64))
     parents = s2.parent(cells, 8)
@@ -656,15 +700,42 @@ def q31_cell_range_join(spark, sf):
         ],
         ["anchor_key", "range_lo", "range_hi"],
     )
-    # r5 review: dropDuplicates(["range_lo"]) kept a partition-order-
-    # dependent anchor_key when two anchors share a level-8 parent —
-    # deterministic min-anchor per range instead (rows-only outputs must
-    # still be run-to-run stable)
+    # deterministic min-anchor per range (r5 review: dropDuplicates kept a
+    # partition-order-dependent anchor when two anchors share a parent)
     ranges = ranges.groupBy("range_lo", "range_hi").agg(
         F.min("anchor_key").alias("anchor_key")
     )
-    out = cell_prefix_range_join(pts, ranges, prefix_level=6, n_salt=4)
-    return out.groupBy("anchor_key").agg(F.count("*").alias("n_in_range"))
+    fast = cell_prefix_range_join(pts, ranges, prefix_level=6, n_salt=4).select(
+        "c_custkey", "anchor_key"
+    )
+    spec = pts.join(
+        F.broadcast(ranges),
+        (F.col("s2_cell") >= F.col("range_lo"))
+        & (F.col("s2_cell") <= F.col("range_hi")),
+    ).select("c_custkey", "anchor_key")
+    fast = fast.localCheckpoint(eager=True)
+    spec = spec.localCheckpoint(eager=True)
+    diff = (
+        fast.exceptAll(spec)
+        .unionByName(spec.exceptAll(fast))
+        .agg(F.count("*").cast("long").alias("val"))
+        .select(F.lit("rewrite_vs_theta_diff").alias("invariant"), "val")
+    )
+    nonzero = fast.agg(
+        F.when(F.count("*") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("val")
+    ).select(F.lit("n_matches_nonzero").alias("invariant"), "val")
+    n_points = pts.agg(F.count("*").cast("long").alias("val")).select(
+        F.lit("n_points").alias("invariant"), "val"
+    )
+    n_queries = (
+        pts.filter(F.col("c_custkey") % 50 == 0)
+        .agg(F.count("*").cast("long").alias("val"))
+        .select(F.lit("n_queries").alias("invariant"), "val")
+    )
+    return (
+        diff.unionByName(nonzero).unionByName(n_points).unionByName(n_queries)
+        .orderBy("invariant")
+    )
 
 
 def q32_lsh_topk(spark, sf):
@@ -1168,9 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is fitted to the window — former q53 merged into q25,
     # q37 into q30, q54+q55 into q54_av_media_meta, q56/q57/q58 into
     # q56_image_codecs; q34/q35/q40 retired (pytest-pinned invariants, see
-    # the comment at their old definition site). All 41 oracle-matched
+    # the comment at their old definition site). All 43 oracle-matched
     # queries come first (r5: q22/q33 invariant-style, q50 lossless-config
-    # conversions, q39 covering-contract); the 9 rows-only queries fill the tail so any
+    # conversions, q39 covering-contract, q24/q31 dual-implementation); the 7 rows-only queries fill the tail so any
     # future snapshot truncation costs a weak check, never an oracle row.
     return {
         # --- oracle-matched (DuckDB SQL in oracle_sql()) -------------------
@@ -1196,10 +1267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_knn": q20_knn,
         "q21_knn_ring": q21_knn_ring,
         "q22_cell_assignment": q22_cell_assignment,
+        "q24_simhash_dupes": q24_simhash_dupes,
         "q26_multimodal_features": q26_multimodal_features,
         "q27_semi_join": q27_semi_join,
         "q28_anti_join": q28_anti_join,
         "q29_intersect": q29_intersect,
+        "q31_cell_range_join": q31_cell_range_join,
         "q32_lsh_topk": q32_lsh_topk,
         "q33_compact_cells": q33_compact_cells,
         "q36_ivf_topk": q36_ivf_topk,
@@ -1217,10 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_embedding_dupes": q51_embedding_dupes,
         # --- rows-only (non-SQL-expressible; pinned by pytest) -------------
         "q23_minhash_dupes": q23_minhash_dupes,
-        "q24_simhash_dupes": q24_simhash_dupes,
         "q25_decode_tiles": q25_decode_tiles,
         "q30_cell_rollups": q30_cell_rollups,
-        "q31_cell_range_join": q31_cell_range_join,
         "q49_resize_media": q49_resize_media,
         "q54_av_media_meta": q54_av_media_meta,
         "q56_image_codecs": q56_image_codecs,
@@ -1508,6 +1579,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs
             ) WHERE rank <= 20
+        """,
+        # q24: dual-implementation oracle (r5) — the pigeonhole blocking's
+        # completeness vs the exact O(n²) Hamming scan, pinned in-gate
+        "q24_simhash_dupes": """
+            SELECT * FROM (
+                SELECT 'blocked_vs_exact_diff' AS invariant, CAST(0 AS BIGINT) AS val
+                UNION ALL SELECT 'n_docs', (SELECT count(*) FROM documents)
+                UNION ALL SELECT 'n_pairs_nonzero', 1
+            ) ORDER BY invariant
+        """,
+        # q31: dual-implementation oracle (r5) — DuckDB pins the salted
+        # prefix-rewrite's equivalence to the plain theta join computed
+        # side-by-side in Spark (diff 0, non-vacuous) + input anchors
+        "q31_cell_range_join": """
+            SELECT * FROM (
+                SELECT 'n_matches_nonzero' AS invariant, CAST(1 AS BIGINT) AS val
+                UNION ALL SELECT 'n_points', (SELECT count(*) FROM customer)
+                UNION ALL SELECT 'n_queries',
+                    (SELECT count(*) FROM customer WHERE c_custkey % 50 = 0)
+                UNION ALL SELECT 'rewrite_vs_theta_diff', 0
+            ) ORDER BY invariant
         """,
         # q32 probes ALL 4 LSH buckets (n_planes=2, n_probes=4 — home + two
         # single flips + the pair flip): every vector is in exactly one
