@@ -494,11 +494,18 @@ def q24_simhash_dupes(spark, sf):
     from cog3pio_spark.operators.dedupe import (
         simhash_dupes,
         simhash_hamming_pairs_exact,
+        simhash_signatures,
     )
 
     docs = _t(spark, sf, "documents")
-    blocked = simhash_dupes(docs, max_hamming=6).select("id_a", "id_b", "hamming")
-    exact = simhash_hamming_pairs_exact(docs, max_hamming=6).select(
+    # one signature pass feeds BOTH implementations (the UDF over the full
+    # corpus is the shared cost; the comparison exercises the independent
+    # blocking vs theta-join machinery downstream of it)
+    sh = simhash_signatures(docs).localCheckpoint(eager=True)
+    blocked = simhash_dupes(docs, max_hamming=6, sh_frame=sh).select(
+        "id_a", "id_b", "hamming"
+    )
+    exact = simhash_hamming_pairs_exact(docs, max_hamming=6, sh_frame=sh).select(
         "id_a", "id_b", "hamming"
     )
     blocked = blocked.localCheckpoint(eager=True)
@@ -624,7 +631,11 @@ def q30_cell_rollups(spark, sf):
     * grain='s2_docs': doc counts + approx-distinct custkeys per level-4 S2
       cell — c1=cell4, n=n_points, m=approx_count_distinct(custkey).
 
-    Rows-only: scratch cell-ID bit math is not SQL-expressible."""
+    Rows-only: scratch cell-ID bit math is not SQL-expressible. Residual
+    risk is small by composition (r5 analysis): the rollup/grouping_id
+    machinery is oracle-verified on SQL keys by q12, and the cell
+    assignments themselves by q22's invariant oracle — this query is the
+    two verified parts composed, pinned here at the row-count level."""
     from cog3pio_spark.functions import cells as C
 
     pts = _cust_points(spark, sf)

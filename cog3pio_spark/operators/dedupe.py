@@ -293,12 +293,24 @@ def _simhash_blocking_plan(n_docs: int, max_hamming: int) -> tuple[int, int]:
     return s, min(c, max(1, s - max_hamming))
 
 
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) simhash64 frame — factored out (r5) so callers comparing
+    the blocked and exact paths (q24's dual-implementation oracle) compute
+    the signature pass ONCE and feed both."""
+    return _spread_small_scan(docs).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("sh")
+    )
+
+
 def simhash_dupes(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     segments: int | None = None,
+    sh_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ max_hamming.
 
@@ -315,8 +327,10 @@ def simhash_dupes(
     the blocking plan — segments only trades candidate volume vs bucket
     saturation (corpus-size-aware default via _simhash_blocking_plan).
     """
-    sh = _spread_small_scan(docs).select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("sh")
+    sh = (
+        sh_frame
+        if sh_frame is not None
+        else simhash_signatures(docs, text_col, id_col)
     )
     if segments is None:
         # bounded probe, not a full count: one extra pass over the upstream
@@ -373,6 +387,7 @@ def simhash_hamming_pairs_exact(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_rows: int = 100_000,
+    sh_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs Hamming scan over simhash64 — ORACLE ANCHOR for
     ``simhash_dupes`` (r4, VERDICT r3 #5), not a scale API: the O(n²) theta
@@ -391,7 +406,11 @@ def simhash_hamming_pairs_exact(
             f"corpus has > max_rows={max_rows} rows. Use simhash_dupes (the "
             f"blocked scale path) or pass max_rows= explicitly to force."
         )
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sh = (
+        sh_frame
+        if sh_frame is not None
+        else docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    )
     left = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     right = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
