@@ -1099,17 +1099,26 @@ def q56_image_codecs(spark, sf):
 
 
 def q52_ivfpq_topk(spark, sf):
-    """IVF-PQ composed top-k (rows-only: doubly approximate — inverted-list
-    pruning × quantized ADC scores; recall + partition-pruning plan pinned in
-    tests/test_training_ops.py::test_ivfpq_*). The 10⁹-vector serving shape:
-    m-byte codes partitioned by list id, probed lists only at query time."""
+    """IVF-PQ (IVFADC residual) top-k at a provably lossless configuration
+    (r5 oracle conversion — q50's recipe composed with q36's): corpus
+    capped at 200 ≤ 256 codewords per subspace with the train sample
+    covering it, so every residual subvector is its own codeword and the
+    IVFADC decomposition ⟨q,c_list⟩ + Σ LUT = ⟨q,v̂⟩ is EXACT; nprobe =
+    n_centroids probes every list, so the whole capped corpus is scored —
+    IVF-PQ provably equals brute force while the full machinery (coarse
+    train, residual codebooks, m-byte codes partitioned by list, pushable
+    isin pruning, broadcast probe join, per-batch partial top-k) runs for
+    real. The production doubly-approximate shape stays pinned by
+    tests/test_training_ops.py::test_ivfpq_* (recall, residual gain,
+    partition-pruning plan)."""
     from cog3pio_spark.operators.ann import ivfpq_topk
 
     emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 200)
     q = emb.filter(F.col("vec_id").isin(10, 11)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivfpq_topk(emb, q, dim=64, k=5, m=8, n_centroids=16, nprobe=4)
+    return ivfpq_topk(corpus, q, dim=64, k=5, m=8, n_centroids=16, nprobe=16)
 
 
 def q44_ship_latency(spark, sf):
@@ -1250,9 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is fitted to the window — former q53 merged into q25,
     # q37 into q30, q54+q55 into q54_av_media_meta, q56/q57/q58 into
     # q56_image_codecs; q34/q35/q40 retired (pytest-pinned invariants, see
-    # the comment at their old definition site). All 43 oracle-matched
+    # the comment at their old definition site). All 44 oracle-matched
     # queries come first (r5: q22/q33 invariant-style, q50 lossless-config
-    # conversions, q39 covering-contract, q24/q31 dual-implementation); the 7 rows-only queries fill the tail so any
+    # conversions, q39 covering-contract, q24/q31 dual-implementation, q52 lossless IVFADC); the 6 rows-only queries fill the tail so any
     # future snapshot truncation costs a weak check, never an oracle row.
     return {
         # --- oracle-matched (DuckDB SQL in oracle_sql()) -------------------
@@ -1299,16 +1308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ivf2_topk": q48_ivf2_topk,
         "q50_pq_topk": q50_pq_topk,
         "q51_embedding_dupes": q51_embedding_dupes,
+        "q52_ivfpq_topk": q52_ivfpq_topk,
         # --- rows-only (non-SQL-expressible; pinned by pytest) -------------
         "q23_minhash_dupes": q23_minhash_dupes,
         "q25_decode_tiles": q25_decode_tiles,
         "q30_cell_rollups": q30_cell_rollups,
         "q49_resize_media": q49_resize_media,
         "q54_av_media_meta": q54_av_media_meta,
-        "q56_image_codecs": q56_image_codecs,
         # kept last on purpose (r3 hedge, still valid): if the snapshot ever
-        # truncates again, the tail slot loses a rows-only query only.
-        "q52_ivfpq_topk": q52_ivfpq_topk,
+        # truncates again, the tail slot loses a rows-only query only
+        # (q52 oracle-converted r5; q56 holds the tail now).
+        "q56_image_codecs": q56_image_codecs,
     }
 
 
@@ -1666,6 +1676,11 @@ def oracle_sql() -> dict[str, str]:
         # == cosine ⇒ brute-force oracle over the capped corpus (r5
         # conversion, VERDICT r4 #4; see q50's docstring)
         "q50_pq_topk": _topk_cosine_oracle(
+            "10, 11", 5, score="pq_score", where="WHERE e.vec_id < 200"
+        ),
+        # q52: same lossless cap as q50 composed with q36's all-lists probe
+        # (see q52's docstring) — IVFADC provably equals brute force
+        "q52_ivfpq_topk": _topk_cosine_oracle(
             "10, 11", 5, score="pq_score", where="WHERE e.vec_id < 200"
         ),
         # q51 = LSH-blocked near-dup pairs; deterministically equal to the
