@@ -131,10 +131,18 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        log(f"{name}: {times[name]}s ({n} rows)")
+        # min of 2 (r5, disclosed in the JSON): this box takes sibling-load
+        # pulses that swing the control job 1.2→5.9 s within an hour; a
+        # single cold pass per query conflates the pulse with the engine.
+        # Same convention as the flagship's min-of-3; run 1 additionally
+        # absorbs the query's own first-use JIT.
+        per = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            per.append(time.perf_counter() - t0)
+        times[name] = round(min(per), 3)
+        log(f"{name}: {times[name]}s (runs {[round(t, 2) for t in per]}, {n} rows)")
 
     # r5: drop pinned localCheckpoint blocks left by the per-query loop
     # (kNN/ngram/minhash all truncate lineage via eager localCheckpoint;
@@ -180,6 +188,9 @@ def main() -> None:
                 "value": round(docs_per_sec, 1),
                 "unit": "docs/sec",
                 "queries": times,
+                # r5: per-query = min of 2 runs (was 1 cold pass; flagship
+                # stays min of 3 warm) — pulse-resistant, disclosed here
+                "query_timing": "min_of_2",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": docs,
                 "cpus": CPUS,
