@@ -103,7 +103,10 @@ def decode_gif(raw: bytes) -> np.ndarray:
         return _decode_gif(raw)
     except GifDecodeError:
         raise
-    except (struct.error, ValueError, IndexError, KeyError, ZeroDivisionError) as exc:
+    except (
+        struct.error, ValueError, IndexError, KeyError, ZeroDivisionError,
+        OverflowError,
+    ) as exc:
         raise GifDecodeError(f"Cannot parse GIF: truncated or corrupt ({exc})") from exc
 
 

@@ -124,7 +124,12 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         return _decode_jpeg_stream(raw)
     except JpegDecodeError:
         raise
-    except (struct.error, ValueError, IndexError, ZeroDivisionError, KeyError) as exc:
+    # OverflowError: corrupt entropy data can walk the DC predictor past
+    # int64 before any length check trips (r5 byte-flip fuzz finding)
+    except (
+        struct.error, ValueError, IndexError, ZeroDivisionError, KeyError,
+        OverflowError,
+    ) as exc:
         raise JpegDecodeError(
             f"Cannot parse JPEG: truncated or corrupt ({type(exc).__name__})"
         ) from exc

@@ -112,7 +112,10 @@ def decode_png(raw: bytes) -> np.ndarray:
         return _decode_png_stream(raw)
     except PngDecodeError:
         raise
-    except (struct.error, ValueError, IndexError, ZeroDivisionError, KeyError, zlib.error) as exc:
+    except (
+        struct.error, ValueError, IndexError, ZeroDivisionError, KeyError,
+        zlib.error, OverflowError,
+    ) as exc:
         raise PngDecodeError(
             f"Cannot parse PNG: truncated or corrupt ({type(exc).__name__})"
         ) from exc

@@ -29,6 +29,14 @@ import numpy as np
 from cog3pio_spark.tiff import writer as W
 
 
+# crash classes corrupt inputs can reach before any length/contract check;
+# every public decode surface wraps these as TiffDecodeError (r5 fuzz)
+_CRASH_CLASSES = (
+    struct.error, IndexError, KeyError, ZeroDivisionError, OverflowError,
+    zlib.error, ValueError,
+)
+
+
 class TiffDecodeError(ValueError):
     """Decode/parse failure with a reference-shaped message."""
 
@@ -314,8 +322,18 @@ class CogReader:
             self._read = lambda off, n: bytes(data[off : off + n])
         else:
             self._read = data.read
-        self.ifds, self.byte_order = _read_ifds(self._read)
-        self._bind_image(image_index)
+        try:
+            self.ifds, self.byte_order = _read_ifds(self._read)
+            self._bind_image(image_index)
+        except TiffDecodeError:
+            raise
+        except _CRASH_CLASSES as exc:
+            # r5 byte-flip fuzz: corrupt tag tables reached raw KeyError/
+            # struct.error/... — wrap the whole parse like the other codecs
+            raise TiffDecodeError(
+                f"Cannot parse TIFF: truncated or corrupt "
+                f"({type(exc).__name__}: {exc})"
+            ) from exc
 
     def select_image(self, image_index: int) -> "CogReader":
         """Same underlying source, different IFD — reuses the already-parsed
@@ -468,6 +486,21 @@ class CogReader:
         return wide.astype(chunk.dtype)
 
     def to_numpy(self, window: tuple[int, int, int, int] | None = None) -> np.ndarray:
+        """Decode the selected IFD → (band, h, w) tensor (full contract on
+        :meth:`_to_numpy`). Crash classes from corrupt chunk tables/streams
+        surface as :class:`TiffDecodeError` (r5 byte-flip fuzz — same
+        self-wrap contract as decode_jpeg/png/gif)."""
+        try:
+            return self._to_numpy(window)
+        except TiffDecodeError:
+            raise
+        except _CRASH_CLASSES as exc:
+            raise TiffDecodeError(
+                f"Cannot decode TIFF: truncated or corrupt "
+                f"({type(exc).__name__}: {exc})"
+            ) from exc
+
+    def _to_numpy(self, window: tuple[int, int, int, int] | None = None) -> np.ndarray:
         """Decode the selected IFD → (band, h, w) tensor.
 
         ``window=(x0, y0, x1, y1)`` (pixel coords, half-open) crops the
