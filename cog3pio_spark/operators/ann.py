@@ -35,17 +35,27 @@ def _collect_query_batch(
     the query set must be small (the documented serving shape). The guard is
     a bounded ``limit(max+1).count()`` probe — never an O(n) scan of the set
     it refuses (same pattern as top_cosine_pairs' max_rows guard) — and it
-    runs BEFORE any collect, so an oversized query set errors loudly instead
-    of OOMing the driver (VERDICT r3 #2)."""
-    n = queries.limit(max_queries + 1).count()
-    if n > max_queries:
+    runs in the SAME job as the fetch (r5 review: take(max+1) IS the
+    guarded collect — the former limit().count() probe spent an extra
+    driver job and left a TOCTOU window; same convention as
+    pip_join.pack_polygons), so an oversized query set errors loudly
+    instead of OOMing the driver (VERDICT r3 #2)."""
+    rows = queries.select(query_id_col, vec_col).take(max_queries + 1)
+    if len(rows) > max_queries:
         raise ValueError(
             f"query set exceeds max_queries={max_queries}: the PQ/IVFPQ LUT "
             f"path collects queries to the driver (serving shape). For bulk "
             f"query sets use a join-based scorer (ivf_topk/lsh_topk keep "
             f"queries distributed) or raise max_queries= explicitly."
         )
-    return queries.select(query_id_col, vec_col).collect()
+    if not rows:
+        # r5 review: an empty query set used to crash downstream in
+        # _normalize (numpy AxisError on a 0-dim matrix) — refuse clearly
+        raise ValueError(
+            "query set is empty: nothing to score (an upstream filter "
+            "matched no rows?)"
+        )
+    return rows
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -72,6 +82,10 @@ def brute_force_topk(
     """
     from typing import Iterator as _It
 
+    if not queries:
+        # r5 review: [] crashed in _normalize with an obscure numpy
+        # AxisError — refuse with the actual problem named
+        raise ValueError("queries list is empty: nothing to score")
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
 
@@ -762,7 +776,11 @@ def train_pq_codebooks(
     (classic IVFADC) — residuals have far smaller spread than raw vectors,
     so the same byte budget quantizes much finer. Encode/score must then use
     the same centroids (pq_encode/ivfpq_topk keep the contract)."""
-    assert dim % m == 0, "dim must be divisible by m"
+    if dim % m != 0:
+        # ValueError, not assert (r5 review): under python -O the assert
+        # vanishes and the tail dims are silently DROPPED from training,
+        # encoding and scoring
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
     sub = dim // m
     rows = sample_rows if sample_rows is not None else _deterministic_sample(
         vectors, vec_col, id_col, sample
@@ -949,6 +967,11 @@ def ivfpq_topk(
             vectors, centroids, books, id_col=id_col, vec_col=vec_col,
             residual=residual,
         )
+    # derive the ADC shape from the CODEBOOKS, not the m parameter (r5
+    # review: a persisted index trained with a different m plus the default
+    # m=8 raised a confusing reshape error on the resume path — books is
+    # authoritative whenever provided)
+    m = books.shape[0]
     sub = books.shape[2]
 
     # query ids keep their INPUT dtype and column name end-to-end (ADVICE r3:

@@ -72,8 +72,19 @@ def fused_decode_assign_pip(
             if n == 0:
                 continue
             decoded = [_decode_one(r, include_pixels=False) for r in refs_list]
+            # np.isfinite, not `is not None` (r5 review): a NaN centroid
+            # (NaN affine tags on an otherwise-ok decode) through the int
+            # cell cast makes VALID-LOOKING s2/hex ids — the exact class
+            # _coords_or_null nulls in the modular path
             geo = np.array(
-                [d["status"] == "ok" and d["centroid_x"] is not None for d in decoded]
+                [
+                    d["status"] == "ok"
+                    and d["centroid_x"] is not None
+                    and np.isfinite(d["centroid_x"])
+                    and d["centroid_y"] is not None
+                    and np.isfinite(d["centroid_y"])
+                    for d in decoded
+                ]
             )
             cx = np.array(
                 [d["centroid_x"] if g else np.nan for d, g in zip(decoded, geo)]
@@ -87,9 +98,12 @@ def fused_decode_assign_pip(
                 lat = np.degrees(cy[geo] / EARTH_RADIUS_M)
                 lng = np.degrees(cx[geo] / EARTH_RADIUS_M)
                 s2c[geo] = s2.to_signed(s2.latlng_to_cell(lat, lng, s2_level))
-                hexes[geo] = np.stack(
-                    [h3x.latlng_to_cell(lat, lng, r) for r in range(hex_lo, hex_hi + 1)],
-                    axis=1,
+                # one projection for ALL resolutions (r5 review: the loop
+                # redid the lat→xyz→face trig 8× — the modular path already
+                # switched to the multi-res helper in r4, the fused kernel
+                # is the flagship's actual hot tile stage)
+                hexes[geo] = h3x.latlng_to_cells_multi(
+                    lat, lng, list(range(hex_lo, hex_hi + 1))
                 )
             pt_idx, pg_idx = _pip_candidates(cx, cy, pack)  # NaN rows never match
 

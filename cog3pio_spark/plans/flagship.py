@@ -70,7 +70,23 @@ def tiles_for_docs(docs: DataFrame, include_pixels: bool = False) -> DataFrame:
     # error rows gain the assignment columns as nulls
     tiles = ok.unionByName(err, allowMissingColumns=True)
     # broadcast the decoded side: distinct refs ≪ spans (Zipf dedupe)
-    return spans.join(F.broadcast(tiles), "media_ref", "left")
+    joined = spans.join(F.broadcast(tiles), "media_ref", "left")
+    # r5 review: a media span with NULL media_ref can't equi-join its error
+    # row (decode emits it under media_ref '' per its non-null contract),
+    # so it surfaced with status NULL — violating the status='error'
+    # accounting contract above. Tag it explicitly with the decode
+    # taxonomy's own message.
+    # error_msg FIRST: the condition reads status, which the second
+    # withColumn overwrites (a status-then-msg order left error_msg null)
+    null_ref = F.col("media_ref").isNull() & F.col("status").isNull()
+    return joined.withColumn(
+        "error_msg",
+        F.when(
+            null_ref, F.lit("Cannot parse url: null or empty media_ref")
+        ).otherwise(F.col("error_msg")),
+    ).withColumn(
+        "status", F.when(null_ref, F.lit("error")).otherwise(F.col("status"))
+    )
 
 
 def doc_media_refs(docs: DataFrame, prune_text: bool = False) -> DataFrame:

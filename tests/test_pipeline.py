@@ -99,6 +99,55 @@ def test_tiles_for_docs_keeps_failed_ref_spans(spark, docs):
     assert errs[0]["s2_cell"] is None
 
 
+def test_tiles_for_docs_null_media_ref_is_error_row(spark, docs):
+    """r5 review: a media span with NULL media_ref could not equi-join its
+    decode error row (emitted under media_ref ''), so it surfaced with
+    status NULL — breaking filter(status == 'error') failure accounting."""
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [
+            Row(
+                doc_id="nullref",
+                spans=[Row(kind="media", text=None, media_ref=None, offset=0)],
+            )
+        ],
+        docs.select("doc_id", "spans").schema,
+    )
+    both = docs.select("doc_id", "spans").unionByName(bad)
+    st = tiles_for_docs(both)
+    spans = media_spans(both).filter(F.col("kind") == "media")
+    assert st.count() == spans.count()
+    row = st.filter(F.col("doc_id") == "nullref").collect()[0]
+    assert row["status"] == "error"
+    assert "null or empty media_ref" in row["error_msg"]
+    assert st.filter(F.col("status").isNull()).count() == 0
+
+
+def test_fused_kernel_nan_centroid_yields_null_cells(spark, tmp_path):
+    """r5 review: an ok decode with NaN affine tags produced NaN centroids
+    that the fused kernel pushed through int cell casts — VALID-LOOKING
+    s2/hex ids (the modular path nulls them via _coords_or_null). The
+    kernel must emit null cells for non-finite centroids."""
+    import numpy as np
+
+    from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
+    from cog3pio_spark.tiff.writer import write_tiff
+
+    p = str(tmp_path / "nan_affine.tif")
+    write_tiff(
+        p,
+        np.arange(64, dtype=np.uint8).reshape(1, 8, 8),
+        pixel_scale=(float("nan"), float("nan")),
+        tiepoint=(0, 0, 0, float("nan"), float("nan"), 0),
+    )
+    refs = spark.createDataFrame([("file://" + p,)], ["media_ref"])
+    row = fused_decode_assign_pip(refs, polygons_df(spark, 4)).collect()[0]
+    assert row["status"] == "ok"
+    assert row["s2_cell"] is None and row["hex_cells"] is None
+    assert row["polygon_id"] is None
+
+
 def test_plan_has_no_per_row_python(spark, docs):
     """input_hint: zero per-row Python — the plan must never contain
     BatchEvalPython (row-at-a-time UDF); only ArrowEvalPython / MapInArrow /

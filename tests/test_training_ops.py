@@ -1245,3 +1245,21 @@ def test_signed_int_tiff_histogram_not_empty(spark):
     hist = row["features"][:14]
     assert sum(hist) > 0.99  # every sample binned (was exactly 0.0)
     assert abs(row["features"][14] - float(arr.mean())) < 1e-9
+
+
+def test_ann_empty_query_set_refused_clearly(spark):
+    """r5 review: an empty query set crashed pq/ivfpq/brute in _normalize
+    with an obscure numpy AxisError; a non-divisible dim/m pair was only an
+    assert (stripped under python -O, silently dropping tail dims)."""
+    from cog3pio_spark.operators.ann import brute_force_topk, pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    none = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="query set is empty"):
+        pq_topk(emb, none, dim=64, k=3, m=8)
+    with pytest.raises(ValueError, match="queries list is empty"):
+        brute_force_topk(emb, [], k=3)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, dim=64, m=7)
