@@ -191,6 +191,15 @@ def main() -> None:
                 # r5: per-query = min of 2 runs (was 1 cold pass; flagship
                 # stays min of 3 warm) — pulse-resistant, disclosed here
                 "query_timing": "min_of_2",
+                # r5: these queries now run in-gate verification work
+                # (dual-implementation diffs / invariant aggregations) on
+                # top of the operator — their times are NOT comparable to
+                # pre-r5 rounds (disclosed so cross-round readers don't
+                # attribute the delta to the engine)
+                "changed_queries_r5": [
+                    "q22_cell_assignment", "q24_simhash_dupes",
+                    "q31_cell_range_join", "q39_tile_covering",
+                ],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": docs,
                 "cpus": CPUS,

@@ -307,21 +307,28 @@ def cover_bbox(
     norm = np.sqrt(xs * xs + ys * ys + zs * zs)
     clat = np.degrees(np.arcsin(zs / norm))
     clng = np.degrees(np.arctan2(ys, xs))
-    # neighbor spacing measured from the actual local geometry: first cell
-    # vs its (q+1) axial neighbor
+    # per-axis pad from BOTH lattice basis vectors measured in the actual
+    # local geometry (r5 review: a single-neighbor scalar hypot under-
+    # covered the longitude axis at high latitude, where a hexagon's
+    # lng-degree extent grows by 1/cos(lat) — pad_lat/pad_lng are each the
+    # SUM of the two basis displacements' |Δaxis|, which bounds any vector
+    # inside the fundamental cell, hence any center-to-hexagon-edge offset)
     res_a, face_a, q_a, r_a = _unpack(cells[:1])
-    nb = _pack(res_a, face_a, q_a + 1, r_a)
-    fn, nu, nv = cell_center_uv(nb)
-    xn, yn, zn = _s2.face_uv_to_xyz(np.full(nu.shape, cface, np.int64), nu, nv)
-    nrm = np.sqrt(xn * xn + yn * yn + zn * zn)
-    nlat = np.degrees(np.arcsin(zn / nrm))
-    nlng = np.degrees(np.arctan2(yn, xn))
-    pad = float(
-        np.hypot(nlat[0] - clat[0], nlng[0] - clng[0])
-    )
+    pads_lat, pads_lng = [], []
+    for dq, dr in ((1, 0), (0, 1)):
+        nb = _pack(res_a, face_a, q_a + dq, r_a + dr)
+        fn, nu, nv = cell_center_uv(nb)
+        xn, yn, zn = _s2.face_uv_to_xyz(np.full(nu.shape, cface, np.int64), nu, nv)
+        nrm = np.sqrt(xn * xn + yn * yn + zn * zn)
+        nlat = np.degrees(np.arcsin(zn / nrm))
+        nlng = np.degrees(np.arctan2(yn, xn))
+        pads_lat.append(abs(float(nlat[0] - clat[0])))
+        pads_lng.append(abs(float(nlng[0] - clng[0])))
+    pad_lat = pads_lat[0] + pads_lat[1]
+    pad_lng = pads_lng[0] + pads_lng[1]
     keep = (
-        (clat >= min(lat0, lat1) - pad) & (clat <= max(lat0, lat1) + pad)
-        & (clng >= min(lng0, lng1) - pad) & (clng <= max(lng0, lng1) + pad)
+        (clat >= min(lat0, lat1) - pad_lat) & (clat <= max(lat0, lat1) + pad_lat)
+        & (clng >= min(lng0, lng1) - pad_lng) & (clng <= max(lng0, lng1) + pad_lng)
     )
     return cells[keep]
 
@@ -353,11 +360,20 @@ def compact_np(cells: np.ndarray, res_lo: int = 0) -> np.ndarray:
 
 def cover_bbox_compact(
     lat0: float, lng0: float, lat1: float, lng1: float,
-    target_cells: int = 64, res_max: int = 12,
-) -> np.ndarray:
+    target_cells: int = 64, res_max: int = 12, return_res: bool = False,
+):
     """Adaptive-resolution compacted covering of a bbox: pick the finest res
-    whose covering stays under ~2×target, then compact."""
+    whose covering stays under ~2×target, then compact.
+
+    ``return_res=True`` additionally returns the BASE resolution the
+    covering was enumerated at before compaction (r5): the compacted set's
+    coverage contract is hierarchical — a point is covered iff its direct
+    base-res cell has an ancestor in the set. Direct assignment at a
+    COARSER present res is NOT equivalent (aperture-7 parents are not the
+    geometric union of their children), so checkers need the base res.
+    """
     chosen = None
+    chosen_res = res_max
     for res in range(2, res_max + 1):
         try:
             cells = cover_bbox(lat0, lng0, lat1, lng1, res,
@@ -365,14 +381,17 @@ def cover_bbox_compact(
         except ValueError:
             break
         chosen = cells
+        chosen_res = res
         if len(cells) >= target_cells:
             break
     if chosen is None or len(chosen) == 0:
         # degenerate bbox: single cell at res_max of the center
-        return latlng_to_cell(
+        out = latlng_to_cell(
             np.array([(lat0 + lat1) / 2]), np.array([(lng0 + lng1) / 2]), res_max
         )
-    return compact_np(chosen)
+        return (out, res_max) if return_res else out
+    out = compact_np(chosen)
+    return (out, chosen_res) if return_res else out
 
 
 def hex_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

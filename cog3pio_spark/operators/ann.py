@@ -1036,10 +1036,11 @@ def ivfpq_topk(
                 continue
             codes = np.vstack(pdf["pq"].to_numpy()).astype(np.int64)  # (rows, m)
             qi = pdf[query_id_col].map(qidx).to_numpy()
-            scores = np.round(
+            # unrounded for ordering (r5 review; see pq_topk) — rounded
+            # once on the final emit
+            scores = (
                 pdf["qc"].to_numpy()
-                + lut[qi[:, None], j_idx[None, :], codes].sum(axis=1),
-                6,
+                + lut[qi[:, None], j_idx[None, :], codes].sum(axis=1)
             )
             ids = pdf[id_col].to_numpy()
             qs = pdf[query_id_col].to_numpy()
@@ -1061,7 +1062,10 @@ def ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "pq_score")
+        .select(
+            query_id_col, "rank", id_col,
+            F.round("pq_score", 6).alias("pq_score"),
+        )
     )
 
 
@@ -1116,7 +1120,11 @@ def pq_topk(
                 continue
             cc = np.vstack(pdf["pq"].to_numpy()).astype(np.int64)  # (batch, m)
             ids = pdf[id_col].to_numpy()
-            scores = np.round(lut[:, j_idx, cc].sum(axis=2), 6)  # (n_q, batch)
+            # UNROUNDED scores for ordering (r5 review: ranking on 6dp-
+            # rounded values diverges from the oracle's unrounded ORDER BY
+            # whenever two cosines tie at 6dp — same contract note as
+            # brute_force_topk); rounding happens once on the final emit
+            scores = lut[:, j_idx, cc].sum(axis=2)  # (n_q, batch)
             out = {query_id_col: [], id_col: [], "pq_score": []}
             for qi in range(len(qvals)):
                 order = np.lexsort((ids, -scores[qi]))[:k]
@@ -1132,5 +1140,8 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "pq_score")
+        .select(
+            query_id_col, "rank", id_col,
+            F.round("pq_score", 6).alias("pq_score"),
+        )
     )

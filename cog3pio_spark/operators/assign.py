@@ -139,40 +139,57 @@ def tile_covering(
     Input rows need affine + shape columns (a, e, c, f, width, height) from
     the decode stage. The covering is adaptive-resolution + compacted
     (north_star: 'H3 res 5-12 compacted' as cell *sets*, not centroid
-    chains), computed per tile inside Arrow batches.
+    chains), computed per tile inside Arrow batches. A ``covering_res``
+    column carries the pre-compaction base resolution (r5): the compacted
+    set's coverage contract is hierarchical at THAT res — checkers and
+    join planners need it (see cover_bbox_compact docstring).
     """
     from cog3pio_spark.functions.geo import EARTH_RADIUS_M
 
-    @pandas_udf(T.ArrayType(T.LongType()))
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cells", T.ArrayType(T.LongType())),
+                T.StructField("res", T.IntegerType()),
+            ]
+        )
+    )
     def cover(
         c: pd.Series, f: pd.Series, a: pd.Series, e: pd.Series,
         w: pd.Series, hgt: pd.Series,
-    ) -> pd.Series:
-        out = []
+    ) -> pd.DataFrame:
+        out_cells: list = []
+        out_res: list = []
         for ci, fi, ai, ei, wi, hi in zip(c, f, a, e, w, hgt):
             # pd.isna, not `is None`: Arrow delivers nulls in double/long
             # Series as NaN (r4 review — the old guard never fired, so null
             # affine rows produced garbage single-cell coverings via the
             # NaN→int cast in the degenerate fallback)
             if any(pd.isna(x) for x in (ci, fi, ai, ei, wi, hi)):
-                out.append(None)
+                out_cells.append(None)
+                out_res.append(None)
                 continue
             x0, x1 = float(ci), float(ci) + float(ai) * int(wi)
             y0, y1 = float(f_ := fi) + float(ei) * int(hi), float(f_)
             lat0, lat1 = np.degrees(np.array([y0, y1]) / EARTH_RADIUS_M)
             lng0, lng1 = np.degrees(np.array([x0, x1]) / EARTH_RADIUS_M)
-            cells = h3x.cover_bbox_compact(
+            cells, base_res = h3x.cover_bbox_compact(
                 min(lat0, lat1), min(lng0, lng1),
-                max(lat0, lat1), max(lng0, lng1), target_cells
+                max(lat0, lat1), max(lng0, lng1), target_cells,
+                return_res=True,
             )
-            out.append(cells.tolist())
-        return pd.Series(out)
+            out_cells.append(cells.tolist())
+            out_res.append(int(base_res))
+        return pd.DataFrame({"cells": out_cells, "res": out_res})
 
-    return tiles.withColumn(
-        "covering_cells",
+    covered = tiles.withColumn(
+        "_cov",
         cover(F.col("c"), F.col("f"), F.col("a"), F.col("e"),
               F.col("width"), F.col("height")),
     )
+    return covered.withColumn("covering_cells", F.col("_cov.cells")).withColumn(
+        "covering_res", F.col("_cov.res")
+    ).drop("_cov")
 
 
 # explicit StructType, not a DDL string: the DDL parse needs an active
@@ -188,26 +205,34 @@ _COVERING_CHECK_SCHEMA = T.StructType(
 
 @pandas_udf(_COVERING_CHECK_SCHEMA)
 def _covering_check(
-    cells: pd.Series, c: pd.Series, f: pd.Series, a: pd.Series,
-    e: pd.Series, w: pd.Series, hgt: pd.Series,
+    cells: pd.Series, base_res: pd.Series, c: pd.Series, f: pd.Series,
+    a: pd.Series, e: pd.Series, w: pd.Series, hgt: pd.Series,
 ) -> pd.DataFrame:
     """Per-tile structural invariants of a compacted bbox covering (r5,
     q39 oracle conversion — the q33 recipe applied to tile_covering):
 
     * antichain: no covering cell is an ancestor of another (checked with
       the INDEPENDENT parent-walk primitives, not cover_bbox internals);
-    * coverage: a 7×7 deterministic lat/lng grid of pixel-center-style
-      samples (min + (i+0.5)/7·span — strictly interior, matching the
-      repo's half-open bbox convention: max-edge points belong to the
-      NEXT tile) must have, for every sample, an ancestor chain member
-      inside the covering set;
+    * coverage: a 7×7 deterministic lat/lng grid INCLUDING the bbox
+      corners/edges (the r5 cover_bbox fix makes the covering a closed
+      superset) — every sample's direct cell at the covering's BASE
+      resolution must have an ancestor (or itself) in the set. The base
+      res comes from the ``covering_res`` column; neither "max res present
+      after compaction" (r5 review: full promotion of the finest level
+      shifts it) nor direct assignment at coarser present resolutions
+      (aperture-7 parents are not geometric unions of children) is a
+      sound substitute;
     * non-empty: a valid decode must produce ≥1 cell.
     """
     from cog3pio_spark.functions.geo import EARTH_RADIUS_M
 
     out = {"antichain_violations": [], "coverage_gaps": [], "empty_covering": []}
-    for cl, ci, fi, ai, ei, wi, hi in zip(cells, c, f, a, e, w, hgt):
-        if cl is None or any(pd.isna(x) for x in (ci, fi, ai, ei, wi, hi)):
+    for cl, br, ci, fi, ai, ei, wi, hi in zip(cells, base_res, c, f, a, e, w, hgt):
+        if (
+            cl is None
+            or pd.isna(br)
+            or any(pd.isna(x) for x in (ci, fi, ai, ei, wi, hi))
+        ):
             out["antichain_violations"].append(0)
             out["coverage_gaps"].append(0)
             out["empty_covering"].append(1)
@@ -231,23 +256,20 @@ def _covering_check(
                     anc = grp.copy()
                     anc = h3x.parent(anc, r)
                     anti += int(sum(1 for x in anc.tolist() if x in cellset))
-        # coverage: 7x7 grid incl. corners, ancestor-chain membership
+        # coverage: 7x7 grid incl. corners; direct assignment at the BASE
+        # res, then ancestor-walk membership (see docstring)
         x0, x1 = float(ci), float(ci) + float(ai) * int(wi)
         y1, y0 = float(fi), float(fi) + float(ei) * int(hi)
-        fr = (np.arange(7) + 0.5) / 7.0
-        la = np.degrees(
-            (min(y0, y1) + fr * (max(y0, y1) - min(y0, y1))) / EARTH_RADIUS_M
-        )
-        ln = np.degrees(
-            (min(x0, x1) + fr * (max(x0, x1) - min(x0, x1))) / EARTH_RADIUS_M
-        )
+        la = np.degrees(np.linspace(min(y0, y1), max(y0, y1), 7) / EARTH_RADIUS_M)
+        ln = np.degrees(np.linspace(min(x0, x1), max(x0, x1), 7) / EARTH_RADIUS_M)
         gl, gn = np.meshgrid(la, ln)
-        gaps = 0
-        leaf = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), hi_r)
-        covered = np.zeros(leaf.shape, dtype=bool)
-        cur = leaf
-        for r in range(hi_r, lo - 1, -1):
-            covered |= np.isin(cur, arr[res == r]) if (res == r).any() else False
+        R = int(br)
+        cur = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), R)
+        covered = np.zeros(cur.shape, dtype=bool)
+        for r in range(R, lo - 1, -1):
+            sel = arr[res == r]
+            if sel.size:
+                covered |= np.isin(cur, sel)
             if r > lo:
                 cur = h3x.parent(cur, r - 1)
         gaps = int((~covered).sum())
@@ -263,8 +285,9 @@ def covering_invariants(covered: DataFrame) -> DataFrame:
     checked = covered.withColumn(
         "_chk",
         _covering_check(
-            F.col("covering_cells"), F.col("c"), F.col("f"), F.col("a"),
-            F.col("e"), F.col("width"), F.col("height"),
+            F.col("covering_cells"), F.col("covering_res"), F.col("c"),
+            F.col("f"), F.col("a"), F.col("e"), F.col("width"),
+            F.col("height"),
         ),
     )
     agg = checked.agg(

@@ -37,7 +37,13 @@ def available_now_ingest(
 ) -> None:
     """Drain all currently-available doc files exactly once, writing media
     spans to parquet. Re-running resumes from the stream checkpoint —
-    streaming-native lineage complementing the batch manifest."""
+    streaming-native lineage complementing the batch manifest.
+
+    SINK SCHEMA NOTE (r5): the constant 'kind' column was dropped from the
+    output. Resuming into a sink directory written by a pre-r5 version
+    mixes schemas — read such sinks with mergeSchema=true (or start a
+    fresh sink dir), otherwise footer-inference may resolve the OLD schema
+    and new files read kind=null, silently failing kind=='media' filters."""
     stream = (
         spark.readStream.schema(doc_stream_schema())
         .format("parquet")

@@ -224,23 +224,39 @@ def test_cover_bbox_is_true_covering():
     Now a superset: every interior sample's cell (or ancestor, for the
     compacted variant) must be in the covering."""
     rng = np.random.RandomState(19)
+    boxes = []
     for _ in range(12):
-        lat0 = float(rng.uniform(-55, 50))
-        lng0 = float(rng.uniform(-160, 150))
-        dlat = float(rng.uniform(0.01, 0.6))
-        dlng = float(rng.uniform(0.01, 0.6))
+        boxes.append(
+            (
+                float(rng.uniform(-55, 50)), float(rng.uniform(-160, 150)),
+                float(rng.uniform(0.01, 0.6)), float(rng.uniform(0.01, 0.6)),
+            )
+        )
+    # high-latitude cases (r5 review: a scalar single-neighbor pad under-
+    # covered the lng axis past ~60° where a hexagon's lng-degree extent
+    # grows by 1/cos(lat); the pad is per-axis from both basis vectors now)
+    for lat0 in (60.0, 66.5, 71.2, -68.0):
+        boxes.append((lat0, float(rng.uniform(-150, 150)), 0.2, 0.5))
+    for lat0, lng0, dlat, dlng in boxes:
         lat1, lng1 = lat0 + dlat, lng0 + dlng
-        cells = h3x.cover_bbox_compact(lat0, lng0, lat1, lng1, 64)
+        cells, base_res = h3x.cover_bbox_compact(
+            lat0, lng0, lat1, lng1, 64, return_res=True
+        )
         arr = np.asarray(cells, np.int64)
         assert arr.size > 0
         res = h3x.resolution(arr)
-        lo, hi = int(res.min()), int(res.max())
-        fr = (np.arange(9) + 0.5) / 9.0
-        gl, gn = np.meshgrid(lat0 + fr * dlat, lng0 + fr * dlng)
-        leaf = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), hi)
-        covered = np.zeros(leaf.shape, dtype=bool)
-        cur = leaf
-        for r in range(hi, lo - 1, -1):
+        lo = int(res.min())
+        assert int(res.max()) <= base_res
+        # corner/edge-INCLUSIVE grid; coverage contract = direct assignment
+        # at the BASE res, then ancestor-walk membership (a compacted set
+        # covers hierarchically — aperture-7 parents are not geometric
+        # unions of children, so coarser direct assignment is not sound)
+        gl, gn = np.meshgrid(
+            np.linspace(lat0, lat1, 9), np.linspace(lng0, lng1, 9)
+        )
+        cur = h3x.latlng_to_cell(gl.ravel(), gn.ravel(), base_res)
+        covered = np.zeros(cur.shape, dtype=bool)
+        for r in range(base_res, lo - 1, -1):
             sel = arr[res == r]
             if sel.size:
                 covered |= np.isin(cur, sel)

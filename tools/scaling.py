@@ -77,10 +77,12 @@ def _level_flagship(cpus: int, docs_path: str) -> dict:
         # r5 review: same loud guard as bench.py — a missing/stale tile farm
         # makes every decode an error row, the pipeline's polygon_id filter
         # drops them all, and the level would "finish" near-instantly,
-        # silently inflating the published scaling numbers.
-        assert rows and any(r["n_tiles"] > 0 for r in rows), (
-            "flagship produced no decoded tiles — tile farm missing/stale?"
-        )
+        # silently inflating the published scaling numbers. RuntimeError,
+        # not assert: python -O strips asserts (second r5 sweep).
+        if not (rows and any(r["n_tiles"] > 0 for r in rows)):
+            raise RuntimeError(
+                "flagship produced no decoded tiles — tile farm missing/stale?"
+            )
         if run >= warm:
             times.append(dt)
         print(f"  local[{cpus}] flagship run{run}: {dt:.2f}s", file=sys.stderr, flush=True)
