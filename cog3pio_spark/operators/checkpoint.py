@@ -8,13 +8,24 @@ Protocol (batch, deterministic — SURVEY §2.B sinks / §4.2):
    S2 prefix from range partitioning).
 2. ``write_checkpointed`` processes only keys absent from the manifest
    (left_anti), appends results partitioned by key, then appends one manifest
-   row per completed key with metrics (rows, bytes est., key range).
+   row per completed key with metrics (n_rows + completion timestamp; richer
+   per-partition metrics — key ranges, sizes — come from
+   operators/metrics.partition_metrics over the data itself).
 3. A killed job re-runs with the same arguments: completed keys are skipped
    (idempotent), partially-written data files for incomplete keys are
    overwritten by dynamic partition overwrite.
 
 The manifest is tiny (one row per partition key) — reading it is a driver
 metadata op, never a scan of the data.
+
+CONTRACT (r5 review): resume assumes the SAME input key set. Re-running
+into the same base with a *different* key set adopts any stale partition
+left by a crashed run whose key is absent from both the manifest and the
+new input — its partial files are read back as "written this run" and
+frozen into the manifest as complete (the protocol cannot re-derive the
+intended key set without executing the possibly-nondeterministic upstream
+a second time, which rule 2 forbids). Changing the key set requires a
+fresh base directory.
 """
 
 from __future__ import annotations
@@ -122,7 +133,14 @@ def write_checkpointed(
             # keeping each incremental resume O(new keys), not O(all data)
             done_keys = [r[part_col] for r in done.collect()]
             if done_keys:
-                written = written.filter(~F.col(part_col).isin(done_keys))
+                # null-SAFE (r5 review): plain ~isin evaluates to NULL for
+                # NULL keys and silently dropped them from metrics BEFORE
+                # the loud null-key guard below could fire — the isin
+                # branch behaved differently from first runs and the
+                # anti-join branch (left_anti keeps NULLs)
+                written = written.filter(
+                    F.col(part_col).isNull() | ~F.col(part_col).isin(done_keys)
+                )
         else:
             # scale guard (VERDICT r2 #8): past ~10^4 keys the literal list
             # bloats the driver plan; the anti-join reads only footers of
@@ -173,5 +191,22 @@ def write_checkpointed(
     }
 
 
-def read_checkpointed(spark: SparkSession, base: str) -> DataFrame:
-    return spark.read.parquet(data_path(base))
+def read_checkpointed(
+    spark: SparkSession, base: str, part_col: str = "part_key"
+) -> DataFrame:
+    """Read the checkpoint data with the MANIFEST's key type (r5 review:
+    a plain read re-infers partition-directory types, collapsing string
+    keys '0012' and '12' into bigint 12 — the exact hazard the write path
+    guards against; CLAUDE.md r3: a cast after inference is too late)."""
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(data_path(base))
+    manifest = load_manifest(spark, base)
+    if manifest is None or part_col not in raw.columns:
+        return raw
+    key_type = manifest.schema["part_key_done"].dataType
+    fields = [
+        T.StructField(f.name, key_type, f.nullable) if f.name == part_col else f
+        for f in raw.schema.fields
+    ]
+    return spark.read.schema(T.StructType(fields)).parquet(data_path(base))

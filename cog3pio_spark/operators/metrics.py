@@ -1,5 +1,6 @@
 """Per-partition metrics + golden-compare ops (SURVEY §2.B UDF surface:
-``applyInPandas`` grouped by partition id).
+``mapInPandas`` with the task's partition id — NOT applyInPandas/groupBy,
+whose missing-group shape hid empty partitions; see partition_metrics).
 
 ``partition_metrics`` emits one row per physical partition with row counts,
 byte estimates and per-partition key ranges — the lineage/metrics payload the
@@ -51,8 +52,14 @@ def partition_metrics(df: DataFrame, key_col: str | None = None) -> DataFrame:
             approx += int(pdf.memory_usage(deep=True).sum())
             if kc and len(pdf):
                 blo, bhi = pdf[kc].min(), pdf[kc].max()
-                lo = blo if lo is None else min(lo, blo)
-                hi = bhi if hi is None else max(hi, bhi)
+                # pd.isna guard (r5 review): an ALL-NULL batch yields
+                # float NaN from .min()/.max(), which then either raises
+                # TypeError against a later batch's string key or
+                # silently reports 'nan' as the range for numeric keys
+                if not pd.isna(blo):
+                    lo = blo if lo is None else min(lo, blo)
+                if not pd.isna(bhi):
+                    hi = bhi if hi is None else max(hi, bhi)
         yield pd.DataFrame(
             {
                 "partition_id": [pid],
@@ -72,14 +79,20 @@ def golden_compare(actual: DataFrame, golden: DataFrame) -> dict:
     a_cols, g_cols = sorted(actual.columns), sorted(golden.columns)
     if a_cols != g_cols:
         return {"match": False, "reason": f"schema {a_cols} != {g_cols}"}
-    a_sel = actual.select(*a_cols)
-    g_sel = golden.select(*g_cols)
+    # localCheckpoint: each side feeds two exceptAll consumers — without
+    # truncation an expensive actual pipeline re-executes per consumer
+    # (r5 review: formerly FOUR executions incl. two standalone counts;
+    # actual_rows is derivable via the multiset identity |A| = |G| −
+    # missing + extra)
+    a_sel = actual.select(*a_cols).localCheckpoint(eager=True)
+    g_sel = golden.select(*g_cols).localCheckpoint(eager=True)
     missing = g_sel.exceptAll(a_sel).count()
     extra = a_sel.exceptAll(g_sel).count()
+    golden_rows = g_sel.count()
     return {
         "match": missing == 0 and extra == 0,
         "missing_rows": missing,
         "extra_rows": extra,
-        "actual_rows": a_sel.count(),
-        "golden_rows": g_sel.count(),
+        "actual_rows": golden_rows - missing + extra,
+        "golden_rows": golden_rows,
     }

@@ -9,8 +9,11 @@ is packed into flat numpy arrays on the driver, broadcast once via
 * bbox prefilter: one vectorized (points × polygons) interval test — the
   numpy analogue of an STRtree sweep; for ≤ ~10^4 polygons a dense bbox mask
   beats tree traversal in vectorized form (no per-node Python);
-* exact test: convex CCW rings ⇒ all-edges cross-product sign test,
-  vectorized over candidate pairs.
+* exact test: even-odd ray casting over ALL rings (outer + holes, nonconvex
+  supported; boundary-inclusive), vectorized per candidate polygon group —
+  r5 doc fix: an earlier draft's "convex cross-product sign test" sentence
+  outlived the even-odd rewrite (test_pip_join_nonconvex_star and
+  test_pip_join_polygon_with_holes pin the actual contract).
 
 The probe is shuffle-free: tiles stream through map tasks; only the
 (tiny) polygon pack moves, once per executor. At 1000 executors × 100 TB of
@@ -162,7 +165,13 @@ def _bbox_pairs_grid(px, py, pack):
     # rejected. Compare against the TRUE extent (r4 float-edge fix).
     cx = np.where((px <= x1) & (cx >= gx), gx - 1, cx)
     cy = np.where((py <= y1) & (cy >= gy), gy - 1, cy)
-    inside = (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy) & np.isfinite(px)
+    # both axes finite (r5 review: only px was guarded — NaN py reached the
+    # int64 cast whose result is undefined, surviving only via accidental
+    # NaN-comparison fallthrough + a RuntimeWarning flood per batch)
+    inside = (
+        (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+        & np.isfinite(px) & np.isfinite(py)
+    )
     pt = np.nonzero(inside)[0]
     cell = cx[pt] * gy + cy[pt]
     start = pack["grid_start"][cell]
@@ -183,7 +192,7 @@ def _bbox_pairs_grid(px, py, pack):
 
 
 def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
-    """Return (point_idx, poly_idx) pairs passing bbox + exact convex PIP."""
+    """Return (point_idx, poly_idx) pairs passing bbox + exact even-odd PIP."""
     if "grid" in pack:
         pt_idx, pg_idx = _bbox_pairs_grid(px, py, pack)
     else:
@@ -196,8 +205,16 @@ def _pip_candidates(px: np.ndarray, py: np.ndarray, pack: dict):
     # polygon (outer + holes — a crossing of a hole edge toggles containment,
     # which is exactly the even-odd hole semantics); points exactly on an
     # outer or hole edge/vertex count as contained (boundary-inclusive).
-    for pg in np.unique(pg_idx):
-        sel = pg_idx == pg
+    # Groups come from ONE argsort + contiguous slices (r5 review: the old
+    # per-polygon boolean mask scan was O(unique_polys × pairs) — 2.5e9
+    # comparisons for 5k polys × 500k pairs — same CSR pattern as
+    # _bbox_pairs_grid).
+    order = np.argsort(pg_idx, kind="stable")
+    bounds = np.searchsorted(pg_idx[order], np.unique(pg_idx))
+    bounds = np.append(bounds, len(order))
+    for gi in range(len(bounds) - 1):
+        sel = order[bounds[gi] : bounds[gi + 1]]
+        pg = int(pg_idx[sel[0]])
         cx, cy = px[pt_idx[sel]], py[pt_idx[sel]]
         s, e = pack["offs"][pg], pack["offs"][pg + 1]
         vx, vy = pack["x"][s:e], pack["y"][s:e]

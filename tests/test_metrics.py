@@ -1,4 +1,4 @@
-"""partition_metrics (applyInPandas) + golden_compare + pyramid decode."""
+"""partition_metrics (mapInPandas) + golden_compare + pyramid decode."""
 
 from __future__ import annotations
 
@@ -87,3 +87,25 @@ def test_partition_metrics_includes_empty_partitions(spark):
     assert len(m) == 6  # EVERY partition reports, empty ones included
     assert sum(m.values()) == 20
     assert 0 in set(m.values())  # the skew put everything on one partition
+
+
+def test_partition_metrics_null_key_batches(spark):
+    """r5 review: an all-NULL key batch made pandas .min() return float NaN,
+    which raised TypeError against a later string batch (or silently
+    reported 'nan' ranges for numeric keys). NULL batches must simply not
+    contribute to the range."""
+    rows = [(None, i) for i in range(50)] + [("k%02d" % i, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v long").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        m = partition_metrics(df, key_col="k").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(m) == 1
+    assert m[0]["n_rows"] == 100
+    assert m[0]["key_lo"] == "k00" and m[0]["key_hi"] == "k49"
+
+    all_null = spark.createDataFrame([(None, 1), (None, 2)], "k string, v long")
+    m2 = partition_metrics(all_null.coalesce(1), key_col="k").collect()
+    assert m2[0]["key_lo"] is None and m2[0]["key_hi"] is None

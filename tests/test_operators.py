@@ -253,6 +253,33 @@ def test_checkpoint_string_key_type_preserved(spark, tmp_path):
     # resume skips BOTH keys (no string-vs-bigint comparison drift)
     r2 = write_checkpointed(df, base)
     assert r2["written_keys"] == 0 and r2["skipped_keys"] == 2
+    # r5: the READ side must also preserve the string key (a plain read
+    # re-infers partition dirs and collapses '0012'/'12' into bigint 12)
+    from cog3pio_spark.operators.checkpoint import read_checkpointed
+
+    back = read_checkpointed(spark, base)
+    assert back.schema["part_key"].dataType.simpleString() == "string"
+    assert {r["part_key"] for r in back.select("part_key").distinct().collect()} == {
+        "0012", "12",
+    }
+
+
+def test_checkpoint_null_key_raises_on_isin_resume(spark, tmp_path):
+    """r5 review: on the ≤10k-key resume branch, ~isin(done) evaluated to
+    NULL for NULL keys and silently dropped them from metrics BEFORE the
+    loud null-key guard — null keys must raise on EVERY branch."""
+    import pytest as _pytest
+
+    from cog3pio_spark.operators.checkpoint import write_checkpointed
+
+    base = str(tmp_path / "ckpt_null")
+    ok = spark.createDataFrame([("a", 1), ("b", 2)], ["part_key", "v"])
+    assert write_checkpointed(ok, base)["written_keys"] == 2
+    with_null = ok.unionByName(
+        spark.createDataFrame([(None, 3)], "part_key string, v bigint")
+    )
+    with _pytest.raises(ValueError, match="NULL values in partition column"):
+        write_checkpointed(with_null, base)
 
 
 def test_checkpoint_many_keys_antijoin_resume(spark, tmp_path, monkeypatch):
@@ -315,6 +342,20 @@ def test_pip_grid_max_extent_matches_dense(spark):
     # grid and dense agree on every point that lies within the dense subset
     grid_subset = {(p, pid) for p, pid in got if pid in {f"p{i:03d}" for i in range(200)}}
     assert dense == grid_subset
+
+    # r5 review: NaN in EITHER coordinate must be excluded cleanly on the
+    # grid path (only px was isfinite-guarded; NaN py reached an undefined
+    # float→int64 cast and survived by accident)
+    nan_pts = spark.createDataFrame(
+        [
+            ("nan_y", 15.5, float("nan")),
+            ("nan_x", float("nan"), 5.5),
+            ("ok", 15.5, 5.5),
+        ],
+        ["pid", "centroid_x", "centroid_y"],
+    )
+    nan_got = {(r["pid"], r["polygon_id"]) for r in pip_join(nan_pts, poly_df).collect()}
+    assert nan_got == {("ok", "p165")}
 
 
 def test_pip_join_polygon_with_holes(spark):
