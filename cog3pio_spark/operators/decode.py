@@ -175,6 +175,16 @@ def _decode_one(
         row["status"] = "error"
         row["error_msg"] = str(exc)
         return row
+    if arr.size == 0:
+        # r5 review: a crafted zero-width/height TIFF passes every reader
+        # size check (0 == 0) and then crashed the EXECUTOR at farr.min()
+        # ('zero-size array to reduction') outside the error channel
+        row["status"] = "error"
+        row["error_msg"] = (
+            f"Cannot decode TIFF: zero-sized image "
+            f"(shape {tuple(int(s) for s in arr.shape)})"
+        )
+        return row
     row["status"] = "ok"
     row["dtype"] = str(arr.dtype)
     row["bands"], row["height"], row["width"] = (int(s) for s in arr.shape)
@@ -183,7 +193,10 @@ def _decode_one(
     row["band_means"] = [float(m) for m in farr.mean(axis=(1, 2))]
     row["px_min"] = float(farr.min())
     row["px_max"] = float(farr.max())
-    row["pixel_sha256"] = hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+    # ONE contiguous serialization reused by the sha and the pixels blob
+    # (r5 review: include_pixels runs re-copied the full buffer twice)
+    buf = np.ascontiguousarray(arr).tobytes()
+    row["pixel_sha256"] = hashlib.sha256(buf).hexdigest()
     try:
         tr = reader.transform()
         # windowed decode: translate the affine origin to the WINDOW's
@@ -203,10 +216,14 @@ def _decode_one(
         # (pixel-center contract; b=d=0 — transform() rejects rotation)
         row["centroid_x"] = c0 + tr.a * (arr.shape[2] / 2.0)
         row["centroid_y"] = f0 + tr.e * (arr.shape[1] / 2.0)
-    except Exception:
-        pass  # non-geo tiff: stats-only row
+    except (R.TiffDecodeError, KeyError, IndexError):
+        # non-geo tiff (missing/short geo tags): stats-only row. Narrowed
+        # (r5 review): a bare except here would swallow PROGRAMMING errors
+        # in transform()/the window arithmetic and silently null the geo
+        # columns on every row — all geo joins would drop with status='ok'.
+        pass
     if include_pixels:
-        row["pixels"] = np.ascontiguousarray(arr).tobytes()
+        row["pixels"] = buf
     return row
 
 

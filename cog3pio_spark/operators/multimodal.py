@@ -140,14 +140,10 @@ def extract_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "b
 
                 try:
                     if raw[:2] in (b"II", b"MM"):
-                        try:
-                            px = CogReader(raw).to_numpy()
-                        except (IndexError, KeyError, ZeroDivisionError) as exc:
-                            # CogReader's tag walk is not self-wrapping the
-                            # way decode_jpeg/png/gif are (r4 review):
-                            # convert its corrupt-input crash classes here
-                            # so the outer tuple stays narrow
-                            raise ValueError(f"corrupt tiff: {exc!r}") from exc
+                        # CogReader self-wraps crash classes into
+                        # TiffDecodeError (a ValueError) since r5 — the
+                        # former local conversion wrapper is gone
+                        px = CogReader(raw).to_numpy()
                         feats.append(vec(px.astype(np.float64), _vrange(px)))
                         types.append("image/tiff;decoded")
                         continue
@@ -196,6 +192,10 @@ def frame_sample(
 ) -> DataFrame:
     """One row per sampled 'frame' (deterministic byte slices — stub for
     video frame extraction; row-explosion contract is the real thing)."""
+    if n_frames < 1:
+        # r5 review: n_frames=0 reached len(raw)//0 inside the executor
+        # UDF — fail at the call site instead
+        raise ValueError(f"n_frames must be >= 1: {n_frames}")
     sel = df.select(F.col(id_col).cast("string"), F.col(blob_col))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -279,6 +279,10 @@ def resize_media(
                     else:
                         arr = CogReader(raw).to_numpy()  # (bands, h, w)
                     _, h, w = arr.shape
+                    if h == 0 or w == 0:
+                        # r5 review: clip(0, -1) on a size-0 axis raised an
+                        # uncaught IndexError in the executor
+                        raise ValueError(f"resize: zero-sized image ({h}x{w})")
                     # nearest-neighbor at pixel centers (matches the affine
                     # pixel-center contract used everywhere else)
                     yi = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64)
@@ -691,6 +695,11 @@ def _image_header_meta(raw: bytes) -> dict:
                 break
             (seglen,) = struct.unpack_from(">H", raw, pos)
             if m in _JPEG_SOFS:
+                if pos + 8 > len(raw):
+                    # r5 review: raw[pos + 7] on a blob truncated mid-SOF
+                    # raised IndexError, which the caller's catch tuple
+                    # does not include — one truncated blob killed the task
+                    raise ValueError("Cannot parse image: truncated JPEG SOF")
                 h, w = struct.unpack_from(">HH", raw, pos + 3)
                 ncomp = raw[pos + 7]
                 return {
@@ -716,13 +725,11 @@ def _image_header_meta(raw: bytes) -> dict:
     if raw[:2] in (b"II", b"MM"):
         from cog3pio_spark.tiff.reader import CogReader
 
-        try:
-            r = CogReader(raw)  # tag parse only; decode stays lazy
-        except (IndexError, KeyError, ZeroDivisionError) as exc:
-            raise ValueError(f"Cannot parse image: corrupt tiff ({exc!r})") from exc
+        # CogReader self-wraps crash classes into TiffDecodeError (a
+        # ValueError) since r5 — no local conversion needed
+        r = CogReader(raw)  # tag parse only; decode stays lazy
         return {"media_type": "image/tiff", "width": r.width,
-                "height": r.height, "bands": r.bands, "detail": r.dtype_name
-                if hasattr(r, "dtype_name") else str(r.dtype)}
+                "height": r.height, "bands": r.bands, "detail": str(r.dtype)}
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
         pos = 12
         while pos + 8 <= len(raw):

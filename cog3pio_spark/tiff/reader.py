@@ -525,6 +525,17 @@ class CogReader:
             th = int(t[W.TILE_LENGTH][0])
             offs, counts = t[W.TILE_OFFSETS], t[W.TILE_BYTE_COUNTS]
             tiles_x = (self.width + tw - 1) // tw
+            tiles_y = (self.height + th - 1) // th
+            # completeness check (r5 review): a corrupt tag count shorter
+            # than the grid would leave the tail tiles as silent zeros in a
+            # status='ok' result (zip truncates to the shorter list) — the
+            # tiled analogue of the strip path's flat.size check
+            if len(offs) < tiles_x * tiles_y or len(counts) < tiles_x * tiles_y:
+                raise TiffDecodeError(
+                    f"Cannot decode TIFF: {tiles_x * tiles_y} tiles expected "
+                    f"but only {min(len(offs), len(counts))} offset/count "
+                    f"entries present"
+                )
             if self.bands != self.samples:  # corrupt band/sample mismatch
                 raise TiffDecodeError(
                     f"failed to convert vector of size "
@@ -599,6 +610,16 @@ class CogReader:
                 )
                 crop = dec[wy0 - s_lo * rows_per_strip : wy1 - s_lo * rows_per_strip,
                            wx0:wx1, :]
+                # size check (r5 review): a short final strip silently
+                # truncated the window (or emptied it into a downstream
+                # zero-size crash) with status='ok' — the windowed analogue
+                # of the full path's flat.size check
+                if crop.shape[0] != wy1 - wy0 or crop.shape[1] != wx1 - wx0:
+                    raise TiffDecodeError(
+                        f"Cannot decode TIFF: window ({wy1 - wy0}, "
+                        f"{wx1 - wx0}) rows/cols requested but strips "
+                        f"yielded ({crop.shape[0]}, {crop.shape[1]})"
+                    )
                 return np.ascontiguousarray(np.moveaxis(crop, -1, 0))
             strip_bytes = rows_per_strip * self.width * self.samples * self.dtype.itemsize
             raw = b"".join(self._chunk(o, c, strip_bytes) for o, c in zip(offs, counts))

@@ -350,3 +350,37 @@ def test_writer_rgba_extra_samples_imageio_conformant(spark):
         for x in range(13):
             for b in range(4):
                 assert jr.getSample(x, y, b) == int(arr[b, y, x]), (x, y, b)
+
+
+def _zero_dims_tiff() -> bytes:
+    """Minimal II TIFF declaring 0x0 dims with a 0-byte strip — passes every
+    size identity (0 == 0) and decodes to an empty (1, 0, 0) array."""
+    import struct as _s
+
+    entries = [
+        (256, 3, 1, 0), (257, 3, 1, 0), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 1),
+        (279, 4, 1, 0),
+    ]
+    ifd = _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += _s.pack("<HHI", tag, typ, cnt) + _s.pack("<I", val)
+    ifd += _s.pack("<I", 0)
+    return b"II" + _s.pack("<HI", 42, 8) + ifd
+
+
+def test_zero_dims_tiff_is_error_row_not_crash(tmp_path):
+    """r5 review: a 0x0 TIFF decoded to an empty array and crashed the
+    executor at farr.min() OUTSIDE the error channel; resize hit an
+    IndexError via clip(0, -1) on the size-0 axis. Both must be rows."""
+    from cog3pio_spark.operators.decode import _decode_one
+
+    raw = _zero_dims_tiff()
+    arr = CogReader(raw).to_numpy()
+    assert arr.size == 0  # reaches the stats path, not a reader error
+
+    p = tmp_path / "zero.tif"
+    p.write_bytes(raw)
+    row = _decode_one("file://" + str(p), include_pixels=False)
+    assert row["status"] == "error"
+    assert "zero-sized image" in row["error_msg"]
