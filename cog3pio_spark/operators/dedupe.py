@@ -1,7 +1,9 @@
 """Deduplication operators for training-data pipelines (task brief).
 
 * exact_dedupe       — hash-groupBy on normalized content (keeps min doc_id);
-                       one shuffle on the 64-bit hash, never on raw text.
+                       one shuffle on the 32-byte sha2-256 content key
+                       (r4: 64-bit keys birthday-collide at design scale),
+                       never on raw text.
 * minhash_lsh_dupes  — shingle → minhash signature → banded LSH buckets →
                        within-bucket candidate pairs → exact Jaccard verify.
                        Scale shape: the only shuffle is groupBy(band, bucket);
@@ -43,9 +45,13 @@ def exact_dedupe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     merges two DISTINCT documents; 256 bits makes that probability
     negligible for 'exact' semantics).
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from cog3pio_spark.operators.text import fingerprint
+
+    # ONE normalization+hash definition shared with text.fingerprint and
+    # the minhash collapse key (r5 review: three inline copies could drift
+    # and silently change what 'exact duplicate' means per operator)
     return (
-        docs.select(F.col(id_col), F.sha2(norm, 256).alias("_h"))
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_h"))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .drop("_h")
@@ -137,6 +143,15 @@ def minhash_lsh_dupes(
     """
     from pyspark.sql import Window
 
+    # r5 review: bands > num_hashes gave rows=0 — every band key became the
+    # hash of an EMPTY signature slice, identical for all docs (whole
+    # corpus in one capped bucket = silent recall collapse); non-divisible
+    # values silently ignored trailing signature rows.
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands} (rows per band = num_hashes / bands)"
+        )
     rows = num_hashes // bands
     # -- 1. exact-text cluster collapse (no UDF; 32-byte content key) ------
     # Representative selection is an AGGREGATE, not a window (VERDICT r3
@@ -145,13 +160,16 @@ def minhash_lsh_dupes(
     # groupBy + min/min_by shuffles at most one partially-aggregated text
     # candidate per key per map task; star pairs come from a separate THIN
     # (id, _sh) pass that never carries text at all.
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    # sha2-256 collapse key (r4 review: a 64-bit key's birthday collisions
-    # at design scale emit FALSE jaccard_est=1.0 star pairs between
-    # unrelated texts, which dedupe_corpus then deletes; same fix class as
-    # exact_dedupe/curate)
+    from cog3pio_spark.operators.text import fingerprint
+
+    # sha2-256 collapse key via the SHARED text.fingerprint helper (r4:
+    # 64-bit birthday collisions emitted false star pairs; r5: one
+    # normalization definition across exact_dedupe/minhash/curate)
     reps = (
-        docs.select(F.col(id_col), F.col(text_col), F.sha2(norm, 256).alias("_sh"))
+        docs.select(
+            F.col(id_col), F.col(text_col),
+            fingerprint(F.col(text_col)).alias("_sh"),
+        )
         .groupBy("_sh")
         .agg(
             F.min(id_col).alias(id_col),
@@ -160,7 +178,7 @@ def minhash_lsh_dupes(
             F.min_by(text_col, F.col(id_col)).alias(text_col),
         )
     )
-    thin = docs.select(F.col(id_col), F.sha2(norm, 256).alias("_sh"))
+    thin = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_sh"))
     star_pairs = (
         thin.join(thin.groupBy("_sh").agg(F.min(id_col).alias("_rep")), "_sh")
         .filter(F.col(id_col) != F.col("_rep"))

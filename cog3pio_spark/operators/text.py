@@ -52,8 +52,13 @@ BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 def bpe_token_count(text: Column) -> Column:
     """Tokenizer-shaped count: matches of the BPE-ish pre-tokenizer regex
     (task brief: "token counting (whitespace + a BPE-ish regex)"). Pure
-    JVM-side regexp_count — codegen, no UDF."""
-    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(BPE_PATTERN))
+    JVM-side regexp_count — codegen, no UDF. NULL text → NULL (r5 review:
+    the old coalesce('') returned 0, conflating unknown-length docs with
+    empty ones — the exact distinction the pack_sequences nulltokens fix
+    preserves for n_tokens)."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.regexp_count(text, F.lit(BPE_PATTERN))
+    )
 
 
 def punct_ratio(text: Column) -> Column:
@@ -62,9 +67,14 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
+    """NULL text → NULL (r5 review, verified live: under ANSI-off legacy
+    sizeOfNull both sizes are -1, so NULL text returned -1/1 = -1.0 — a
+    config-dependent NEGATIVE ratio; ANSI-on gave NULL)."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
     hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
-    return hits / F.greatest(F.size(words), F.lit(1))
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        hits / F.greatest(F.size(words), F.lit(1))
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -88,7 +98,11 @@ def _marker_hits(words: Column, marks: list[str]) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Most-hits language over the marker table; ties → lexicographic."""
+    """Most-hits language over the marker table; ties → lexicographic;
+    NULL text → 'und' (r5 review, verified live: under ANSI-off legacy
+    sizeOfNull every marker count is -1, so best==-1 passed the best==0
+    guard and the first when() branch fired — NULL text got the
+    valid-looking label 'de', config-dependently)."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
     scores = [
         (lang, _marker_hits(words, marks)) for lang, marks in sorted(LANG_MARKERS.items())
@@ -100,7 +114,7 @@ def lang_id(text: Column) -> Column:
     # reverse order so earlier (lexicographic) languages win ties
     for lang, sc in reversed(scores):
         out = F.when(sc == best, F.lit(lang)).otherwise(out)
-    return F.when(best == 0, F.lit("und")).otherwise(out)
+    return F.when(text.isNull() | (best <= 0), F.lit("und")).otherwise(out)
 
 
 def fingerprint(text: Column) -> Column:
@@ -132,7 +146,8 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """(id, n_tokens, pack_id, pack_tokens) — assemble documents into packs
+    """(<id_col>, n_tokens, pack_id, pack_tokens) — assemble documents into
+    packs
     of at most ``max_tokens`` total tokens (LLM-training sequence packing:
     fixed-budget context windows assembled from whole documents).
 
@@ -157,22 +172,33 @@ def pack_sequences(
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1: {max_tokens}")
     import pandas as pd
+    from pyspark.sql import types as T
 
+    # caller's id column keeps its NAME and DTYPE end-to-end (r5 review:
+    # the old shape returned a hardcoded string 'id' column — the same
+    # query-id preservation defect r4 fixed for pq/ivfpq; the bucket hash
+    # still uses the string cast for determinism)
+    id_type = docs.schema[id_col].dataType
     sel = docs.select(
-        F.col(id_col).cast("string").alias("id"),
+        F.col(id_col),
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(41)), F.lit(n_buckets))
         .alias("_bucket"),
     )
 
-    schema = (
-        "id string, n_tokens long, pack_id string, pack_tokens long"
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("pack_id", T.StringType()),
+            T.StructField("pack_tokens", T.LongType()),
+        ]
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["_bucket"].iloc[0])
         pdf = pdf.sort_values(
-            ["n_tokens", "id"], ascending=[False, True]
+            ["n_tokens", id_col], ascending=[False, True]
         ).reset_index(drop=True)
         packs: list[tuple[int, list[int]]] = []  # (remaining, row indices)
         out_pack = [""] * len(pdf)
@@ -207,7 +233,7 @@ def pack_sequences(
         # empty ones in any token-budget accounting — keep unknown NULL.
         totals = totals.mask(pdf["pack_id"].str.endswith("-nulltokens"))
         return pdf.assign(pack_tokens=totals)[
-            ["id", "n_tokens", "pack_id", "pack_tokens"]
+            [id_col, "n_tokens", "pack_id", "pack_tokens"]
         ]
 
     return sel.groupBy("_bucket").applyInPandas(_pack, schema)

@@ -1178,7 +1178,7 @@ def test_pack_sequences_budget_and_coverage(spark):
     out = pack_sequences(docs, max_tokens=2048, n_buckets=8).collect()
 
     assert len(out) == len(rows)  # exactly-once coverage
-    assert {r["id"] for r in out} == {r[0] for r in rows}
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
     by_pack = {}
     for r in out:
         by_pack.setdefault(r["pack_id"], []).append(r)
@@ -1199,8 +1199,8 @@ def test_pack_sequences_budget_and_coverage(spark):
     out2 = pack_sequences(
         docs.repartition(13), max_tokens=2048, n_buckets=8
     ).collect()
-    assert {(r["id"], r["pack_id"]) for r in out} == {
-        (r["id"], r["pack_id"]) for r in out2
+    assert {(r["doc_id"], r["pack_id"]) for r in out} == {
+        (r["doc_id"], r["pack_id"]) for r in out2
     }
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(docs, max_tokens=0)
@@ -1217,7 +1217,7 @@ def test_pack_sequences_null_tokens_stay_null(spark):
         "doc_id string, n_tokens int",
     )
     out = {
-        r["id"]: r
+        r["doc_id"]: r
         for r in pack_sequences(docs, max_tokens=256, n_buckets=1).collect()
     }
     assert out["b"]["pack_id"].endswith("-nulltokens")
@@ -1263,3 +1263,26 @@ def test_ann_empty_query_set_refused_clearly(spark):
         brute_force_topk(emb, [], k=3)
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(emb, dim=64, m=7)
+
+
+def test_text_features_null_text_ansi_independent(spark):
+    """r5 review (verified live before the fix): under ANSI-off — the
+    bench/scaling session config — legacy sizeOfNull made lang_id(NULL)
+    return the valid-looking label 'de' and stopword_ratio(NULL) return
+    -1.0; bpe_token_count coalesced NULL to 0, conflating unknown with
+    empty. All must be config-independent now."""
+    df = spark.createDataFrame([("n1", None), ("n2", "the cat and dog")],
+                               "doc_id string, text string")
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    for ansi in ("false", "true"):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try:
+            out = {r["doc_id"]: r for r in text_features(df).collect()}
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+        r = out["n1"]
+        assert r["lang_pred"] == "und", (ansi, r["lang_pred"])
+        assert r["stopword_ratio"] is None, (ansi, r["stopword_ratio"])
+        assert r["n_bpe_tokens"] is None, (ansi, r["n_bpe_tokens"])
+        assert r["n_tokens"] is None
+        assert out["n2"]["lang_pred"] == "en"
