@@ -52,10 +52,28 @@ def s2_cell(lat: Column, lng: Column, level: int) -> Column:
     return _u(lat, lng)
 
 
+def _cells_or_null(c: pd.Series, fn):
+    """Apply ``fn(ndarray[int64]) -> ndarray[int64]`` over non-null cell ids;
+    NULL cells → NULL outputs (r5 review: Arrow delivers null longs to
+    pandas_udfs as NaN, and ``.to_numpy(np.int64)`` silently casts NaN to
+    INT64_MIN — a VALID-LOOKING garbage cell id that defeated downstream
+    null guards, e.g. the checkpoint sink's loud NULL-part_key check)."""
+    mask = c.isna().to_numpy()
+    if not mask.any():
+        return pd.Series(fn(c.to_numpy(np.int64)))
+    out = np.zeros(len(c), dtype=np.int64)
+    valid = ~mask
+    if valid.any():
+        out[valid] = fn(c.to_numpy()[valid].astype(np.int64))
+    return pd.Series(out).astype("Int64").mask(mask)
+
+
 def s2_range_min(cell: Column) -> Column:
     @pandas_udf(T.LongType())
     def _u(c: pd.Series) -> pd.Series:
-        return pd.Series(_s2.to_signed(_s2.range_min(_s2.from_signed(c.to_numpy(np.int64)))))
+        return _cells_or_null(
+            c, lambda a: _s2.to_signed(_s2.range_min(_s2.from_signed(a)))
+        )
 
     return _u(cell)
 
@@ -63,7 +81,9 @@ def s2_range_min(cell: Column) -> Column:
 def s2_range_max(cell: Column) -> Column:
     @pandas_udf(T.LongType())
     def _u(c: pd.Series) -> pd.Series:
-        return pd.Series(_s2.to_signed(_s2.range_max(_s2.from_signed(c.to_numpy(np.int64)))))
+        return _cells_or_null(
+            c, lambda a: _s2.to_signed(_s2.range_max(_s2.from_signed(a)))
+        )
 
     return _u(cell)
 
@@ -71,8 +91,8 @@ def s2_range_max(cell: Column) -> Column:
 def s2_parent(cell: Column, level: int) -> Column:
     @pandas_udf(T.LongType())
     def _u(c: pd.Series) -> pd.Series:
-        return pd.Series(
-            _s2.to_signed(_s2.parent(_s2.from_signed(c.to_numpy(np.int64)), level))
+        return _cells_or_null(
+            c, lambda a: _s2.to_signed(_s2.parent(_s2.from_signed(a), level))
         )
 
     return _u(cell)
@@ -93,7 +113,7 @@ def h3x_cell(lat: Column, lng: Column, res: int) -> Column:
 def h3x_parent(cell: Column, res: int) -> Column:
     @pandas_udf(T.LongType())
     def _u(c: pd.Series) -> pd.Series:
-        return pd.Series(_h3x.parent(c.to_numpy(np.int64), res))
+        return _cells_or_null(c, lambda a: _h3x.parent(a, res))
 
     return _u(cell)
 
@@ -101,22 +121,41 @@ def h3x_parent(cell: Column, res: int) -> Column:
 def h3x_resolution(cell: Column) -> Column:
     """Resolution of a packed hex cell id (r5: needed by invariant queries
     that group a mixed-resolution compacted set before parent() calls,
-    which require uniform-resolution input)."""
+    which require uniform-resolution input). NULL cell → NULL."""
 
     @pandas_udf(T.IntegerType())
     def _u(c: pd.Series) -> pd.Series:
-        return pd.Series(_h3x.resolution(c.to_numpy(np.int64)).astype(np.int32))
+        mask = c.isna().to_numpy()
+        if not mask.any():
+            return pd.Series(_h3x.resolution(c.to_numpy(np.int64)).astype(np.int32))
+        out = np.zeros(len(c), dtype=np.int32)
+        valid = ~mask
+        if valid.any():
+            out[valid] = _h3x.resolution(
+                c.to_numpy()[valid].astype(np.int64)
+            ).astype(np.int32)
+        return pd.Series(out).astype("Int32").mask(mask)
 
     return _u(cell)
 
 
 def h3x_kring(cell: Column, k: int) -> Column:
-    """ARRAY<BIGINT> of all cells within hex distance ≤ k (for explode+join)."""
+    """ARRAY<BIGINT> of all cells within hex distance ≤ k (for explode+join).
+    NULL cell → NULL array (r5: NaN-through-int64 made garbage rings)."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _u(c: pd.Series) -> pd.Series:
-        ring = _h3x.k_ring(c.to_numpy(np.int64), k)  # (n, 3k(k+1)+1)
-        return pd.Series(list(ring))
+        mask = c.isna().to_numpy()
+        if not mask.any():
+            ring = _h3x.k_ring(c.to_numpy(np.int64), k)  # (n, 3k(k+1)+1)
+            return pd.Series(list(ring))
+        out: list = [None] * len(c)
+        valid_idx = np.nonzero(~mask)[0]
+        if valid_idx.size:
+            ring = _h3x.k_ring(c.to_numpy()[valid_idx].astype(np.int64), k)
+            for j, i in enumerate(valid_idx.tolist()):
+                out[i] = ring[j]
+        return pd.Series(out, dtype=object)
 
     return _u(cell)
 

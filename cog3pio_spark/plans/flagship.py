@@ -146,6 +146,42 @@ def doc_media_refs(docs: DataFrame, prune_text: bool = False) -> DataFrame:
     )
 
 
+def flagship_enriched(
+    docs: DataFrame, polygons: DataFrame, prune_text: bool = False
+) -> DataFrame:
+    """The flagship's enriched intermediate: one row per (media_ref,
+    polygon) carrying decode stats + cell assignments + pre-aggregated span
+    stats (ref_spans, doc_sketch). Exposed (r5) so jobs needing BOTH the
+    per-polygon aggregate and the per-tile sink run the expensive
+    decode+assign+PIP kernel ONCE (localCheckpoint and derive both) instead
+    of once per consumer — run_flagship.py previously decoded every tile
+    twice per submission."""
+    from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
+
+    span_refs = doc_media_refs(docs, prune_text=prune_text)
+    per_ref = span_refs.groupBy("media_ref").agg(
+        F.count("*").alias("ref_spans"),
+        F.hll_sketch_agg(F.xxhash64("doc_id"), F.lit(10)).alias("doc_sketch"),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return fused_decode_assign_pip(per_ref.repartition(par), polygons)
+
+
+def flagship_aggregate(enriched: DataFrame) -> DataFrame:
+    """Per-polygon rollup over `flagship_enriched` output (the flagship's
+    tail; factored r5 for single-kernel-execution jobs)."""
+    return (
+        enriched.filter(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(
+            F.sum("ref_spans").alias("n_spans"),
+            F.hll_sketch_estimate(F.hll_union_agg("doc_sketch")).alias("n_docs"),
+            F.count("*").alias("n_tiles"),  # exact: one row per (ref, polygon)
+            F.sum(F.col("mean") * F.col("ref_spans")).alias("sum_tile_mean"),
+        )
+    )
+
+
 def flagship_pipeline(
     docs: DataFrame, polygons: DataFrame, prune_text: bool = False
 ) -> DataFrame:
@@ -162,42 +198,18 @@ def flagship_pipeline(
         branch;
       * verdict broadcast back; final partial-agg shuffle is tiny.
     """
-    from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
-
-    span_refs = doc_media_refs(docs, prune_text=prune_text)
-
-    # ONE pass + ONE shuffle over the span table: pre-aggregate per media_ref
-    # (count + HLL doc sketch). Map-side partial agg collapses every task to
-    # ≤ |distinct refs| rows before the shuffle; the polygon fan-out then
-    # happens on O(refs) rows instead of O(spans) — at 40M docs this removed
-    # a ~290M-row join→agg (the span×polygon blow-up) from the plan.
-    # sketch the 64-bit hash of doc_id, not the string (cheaper sketch
-    # updates, and xxhash64 is whole-stage-codegen); lgK=10 → ~1 KB sketches
-    # (±3.3% doc-count error), 4× less sketch-shuffle volume than default.
-    per_ref = span_refs.groupBy("media_ref").agg(
-        F.count("*").alias("ref_spans"),
-        F.hll_sketch_agg(F.xxhash64("doc_id"), F.lit(10)).alias("doc_sketch"),
-    )
-
-    # Pre-aggregated stats ride THROUGH the fused kernel (passthrough
-    # columns), so the verdict needs no downstream join and per_ref has a
-    # single consumer — one scan, one shuffle, one Python stage.
-    # (Earlier two-consumer designs either scanned the span table twice —
-    # column pruning blocks exchange reuse — or needed a persist() that
-    # Spark's plan-cache would leak across jobs.)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    enriched = fused_decode_assign_pip(per_ref.repartition(par), polygons)
-
-    return (
-        enriched.filter(F.col("polygon_id").isNotNull())
-        .groupBy("polygon_id")
-        .agg(
-            F.sum("ref_spans").alias("n_spans"),
-            # sketches union across refs ⇒ cross-ref doc dedupe preserved
-            F.hll_sketch_estimate(F.hll_union_agg("doc_sketch")).alias("n_docs"),
-            F.count("*").alias("n_tiles"),  # exact: one row per (ref, polygon)
-            F.sum(F.col("mean") * F.col("ref_spans")).alias("sum_tile_mean"),
-        )
-        # no orderBy: global sort adds a range-sampling job per run; callers
-        # that need canonical order (golden tests) sort the tiny result
-    )
+    # ONE pass + ONE shuffle over the span table inside flagship_enriched:
+    # pre-aggregate per media_ref (count + HLL doc sketch). Map-side partial
+    # agg collapses every task to ≤ |distinct refs| rows before the shuffle;
+    # the polygon fan-out then happens on O(refs) rows instead of O(spans) —
+    # at 40M docs this removed a ~290M-row join→agg (the span×polygon
+    # blow-up) from the plan. Pre-aggregated stats ride THROUGH the fused
+    # kernel (passthrough columns), so the verdict needs no downstream join
+    # and per_ref has a single consumer — one scan, one shuffle, one Python
+    # stage. (Earlier two-consumer designs either scanned the span table
+    # twice — column pruning blocks exchange reuse — or needed a persist()
+    # that Spark's plan-cache would leak across jobs.) sketch lgK=10 → ~1 KB
+    # sketches (±3.3% doc-count error), 4× less shuffle than default.
+    # no orderBy: global sort adds a range-sampling job per run; callers
+    # that need canonical order (golden tests) sort the tiny result.
+    return flagship_aggregate(flagship_enriched(docs, polygons, prune_text))

@@ -14,8 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# direct runs (`python jobs/run_flagship.py`) put jobs/ at sys.path[0], not
+# the repo root — bootstrap like tools/* so the documented local fallback
+# actually imports (r5 review); spark-submit --py-files is unaffected
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -39,8 +45,7 @@ def main() -> None:
     from cog3pio_spark.fixtures.polygons import polygons_df
     from cog3pio_spark.operators.assign import range_partition_by_cell
     from cog3pio_spark.operators.checkpoint import write_checkpointed
-    from cog3pio_spark.operators.tile_kernel import fused_decode_assign_pip
-    from cog3pio_spark.plans.flagship import doc_media_refs, flagship_pipeline
+    from cog3pio_spark.plans.flagship import flagship_aggregate, flagship_enriched
 
     if args.docs:
         docs = spark.read.parquet(args.docs)
@@ -55,34 +60,59 @@ def main() -> None:
     polys = polygons_df(spark, args.polygons)
 
     t0 = time.perf_counter()
-    # per-polygon aggregates (driver-side result)
-    agg_rows = flagship_pipeline(docs, polys).collect()
+    # ONE execution of the expensive decode+assign+PIP kernel (r5 review:
+    # the old shape ran it twice per submission — once inside
+    # flagship_pipeline's collect and again for the sink); localCheckpoint
+    # makes the enriched frame the single source for BOTH consumers.
+    enriched = flagship_enriched(docs, polys).localCheckpoint(eager=True)
+    agg_rows = flagship_aggregate(enriched).collect()
 
-    # full tile assignment table → range-partitioned, checkpointed sink
+    # full tile assignment table → range-partitioned, checkpointed sink.
+    # NULL-cell ok rows (non-finite affine) carry no spatial key and are
+    # excluded from the spatially-keyed sink explicitly (disclosed below;
+    # r5 review: s2_parent(NULL) used to NaN→int-cast into a garbage
+    # valid-looking part_key that defeated the sink's loud null guard).
     par = args.s2_partitions or spark.sparkContext.defaultParallelism
-    span_refs = doc_media_refs(docs)
-    refs_df = span_refs.select("media_ref").dropDuplicates(["media_ref"]).repartition(par)
-    tiles = fused_decode_assign_pip(refs_df, polys).filter(F.col("status") == "ok")
+    tiles = enriched.filter(F.col("status") == "ok")
+    n_no_cell = tiles.filter(F.col("s2_cell").isNull()).count()
+    tiles = tiles.filter(F.col("s2_cell").isNotNull())
     tiles = range_partition_by_cell(tiles, par, cell_col="s2_cell")
     # part_key = S2 PARENT prefix, not a hash (r4 review: pmod(xxhash64)
     # scattered each range-contiguous task across every partition dir —
     # up to par² small files, a wasted range shuffle, and resume that
-    # skipped hash buckets instead of the documented cell ranges). The
-    # parent level is sized so #cells ≈ par; parents are deterministic
-    # across runs (resume-stable) and contiguous ranges map to contiguous
-    # parents, so each range task writes ~1-2 partition dirs.
-    import math
-
+    # skipped hash buckets instead of the documented cell ranges). Parents
+    # are deterministic across runs (resume-stable) and contiguous ranges
+    # map to contiguous parents, so each range task writes ~1-2 dirs.
+    # The parent LEVEL is sized from the DATA's cell range (r5 review: the
+    # old global-count formula collapsed spatially clustered data — incl.
+    # the default fixture run — into ONE partition, making resume
+    # all-or-nothing): choose the finest level whose prefix stride still
+    # spans the observed [min, max] id range in ≤ ~2·par parents.
     from cog3pio_spark.functions import cells as C
 
-    level = max(0, math.ceil(math.log(max(par, 6) / 6.0, 4)))
+    rng = tiles.agg(
+        F.min("s2_cell").alias("lo"), F.max("s2_cell").alias("hi")
+    ).collect()[0]
+    level = 0
+    if rng["lo"] is not None:
+        span = max(1, int(rng["hi"]) - int(rng["lo"]))
+        for lvl in range(0, 31):
+            stride = 2 ** (2 * (30 - lvl) + 1)
+            if span // stride + 1 >= par:
+                level = lvl
+                break
+        else:
+            level = 30
     tiles = tiles.withColumn("part_key", C.s2_parent(F.col("s2_cell"), level))
-    ckpt = write_checkpointed(tiles.drop("hex_cells"), args.out, part_col="part_key")
+    ckpt = write_checkpointed(tiles.drop("hex_cells", "doc_sketch"),
+                              args.out, part_col="part_key")
 
     dt = time.perf_counter() - t0
     print(json.dumps({
         "polygons_with_tiles": len(agg_rows),
         "checkpoint": ckpt,
+        "part_key_level": level,
+        "ok_rows_without_cell": int(n_no_cell),
         "wall_sec": round(dt, 2),
     }))
 

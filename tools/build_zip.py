@@ -14,9 +14,11 @@ def main() -> str:
     out = os.path.join(out_dir, "cog3pio_spark.zip")
     pkg = os.path.join(HERE, "cog3pio_spark")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
+        for root, dirs, files in os.walk(pkg):
+            # prune in place (r5 review: the substring test still descended
+            # every __pycache__ tree and would skip any dir whose PATH
+            # merely contains the string)
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
             for fn in files:
                 if fn.endswith(".pyc"):
                     continue

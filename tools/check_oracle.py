@@ -62,8 +62,14 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v + 0.0:.9g}"  # +0.0 folds -0.0 into 0.0 (r4: signed-zero
-        # disagreement between engines formatted as '-0' vs '0')
+        # '.9g' is CALIBRATED to the driver, not a sloppy tolerance (r5
+        # probe): q01's avg column differs between Spark and DuckDB in the
+        # last float bit (…139756 vs …1397554) and the DRIVER has
+        # hash-matched q01 in every round — so the driver's typed value
+        # hash tolerates ulp-level drift, and an exact-repr replica
+        # (tried r5) produces false FAILs. +0.0 folds -0.0 (r4:
+        # signed-zero disagreement between engines formatted '-0' vs '0').
+        return f"{v + 0.0:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
@@ -133,6 +139,13 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    # r5 review: an oracle_sql() key with no queries() entry was silently
+    # ignored — a renamed query demoted from oracle-checked to rows-only
+    # with exit code 0. Orphans are failures.
+    orphans = sorted(set(oracles) - set(qs))
+    if orphans and not only:
+        print(f"FAIL  orphaned oracle_sql keys (no queries() entry): {orphans}")
+        n_fail += len(orphans)
     for name, fn in qs.items():
         if only and not name.startswith(only):
             continue

@@ -5,8 +5,12 @@ Goldens pin the engine's spatial semantics across refactors:
   join_rows        — (polygon × tile) PIP verdicts over the fixture layers
   knn_results      — k=5 ring-kNN over clustered seed points
 
-Everything derives from seeded generators (seed 42), so regeneration is
-byte-stable; tests/test_goldens.py recomputes and golden_compares.
+Generators are seeded (tile farm/join layers seed 42, kNN seed points
+seed 21) so regenerated VALUES are stable; byte-identity is NOT promised —
+parquet part files carry fresh UUID names each run, and build_dedupe_sf01
+pins outputs of the EXTERNAL sf0.1 corpus (SPARK_GRAFT_SF_DIR), so
+regenerating against a different corpus pins different pairs (r5 doc fix).
+tests/test_goldens.py recomputes and golden_compares values, not bytes.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ def build_tile_assignments(spark):
     tiles = assign_cells(decoded.filter(F.col("status") == "ok"))
     return tiles.select(
         # strip the machine-specific path prefix so goldens are portable
-        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        F.regexp_extract("media_ref", r"([^/]+)$", 1).alias("tile"),  # basename: portable under COG3PIO_FIXTURE_DIR overrides (r5)
         "dtype", "bands", "height", "width",
         F.round("mean", 9).alias("mean"),
         "pixel_sha256", "s2_cell", "hex_cells",
@@ -55,7 +59,7 @@ def build_join_rows(spark):
     )
     out = fused_decode_assign_pip(refs, polygons_df(spark, 16))
     return out.select(
-        F.regexp_replace("media_ref", r"^file://.*/cogs/", "").alias("tile"),
+        F.regexp_extract("media_ref", r"([^/]+)$", 1).alias("tile"),  # basename: portable under COG3PIO_FIXTURE_DIR overrides (r5)
         "polygon_id", "s2_cell",
         F.col("polygon_id").isNotNull().alias("contained"),
     ).orderBy("tile", "polygon_id")
