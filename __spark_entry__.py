@@ -508,12 +508,31 @@ def q24_simhash_dupes(spark, sf):
     exact = simhash_hamming_pairs_exact(docs, max_hamming=6, sh_frame=sh).select(
         "id_a", "id_b", "hamming"
     )
+    # blocked feeds two consumers (diff + non-vacuity) — checkpoint once;
+    # exact has a single consumer, no materialization needed (r6)
     blocked = blocked.localCheckpoint(eager=True)
-    exact = exact.localCheckpoint(eager=True)
+    # multiset symmetric difference via ONE tagged union + aggregate (r6,
+    # guide §2.4): |A ⊖ B| = Σ_key |n_A − n_B|, which is exactly what
+    # count(A.exceptAll(B) ∪ B.exceptAll(A)) computed — but in one shuffle
+    # of the 2×11.7M pair rows instead of four (two exceptAll joins, each
+    # side shuffled, plus a second 11.7M-row checkpoint). Equality of the
+    # two formulas is pinned by
+    # tests/test_training_ops.py::test_multiset_diff_formula_matches_exceptall.
+    tagged = blocked.select(
+        "id_a", "id_b", "hamming", F.lit(1).alias("_nb"), F.lit(0).alias("_ne")
+    ).unionByName(
+        exact.select(
+            "id_a", "id_b", "hamming", F.lit(0).alias("_nb"), F.lit(1).alias("_ne")
+        )
+    )
     diff = (
-        blocked.exceptAll(exact)
-        .unionByName(exact.exceptAll(blocked))
-        .agg(F.count("*").cast("long").alias("val"))
+        tagged.groupBy("id_a", "id_b", "hamming")
+        .agg(F.sum("_nb").alias("nb"), F.sum("_ne").alias("ne"))
+        .agg(
+            F.coalesce(F.sum(F.abs(F.col("nb") - F.col("ne"))), F.lit(0))
+            .cast("long")
+            .alias("val")
+        )
         .select(F.lit("blocked_vs_exact_diff").alias("invariant"), "val")
     )
     nonzero = blocked.agg(

@@ -362,16 +362,26 @@ def simhash_dupes(
     else:
         combo = max(1, segments - max_hamming)
 
-    # near-equal segment widths summing to 64
-    base, rem = divmod(64, segments)
-    widths = [base + (1 if i < rem else 0) for i in range(segments)]
-    offsets = [sum(widths[:i]) for i in range(segments)]
-    seg_exprs = [
-        F.shiftrightunsigned(F.col("sh"), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
-        for i in range(segments)
-    ]
+    # STRIDED bit→segment assignment (r6, guide §2.5): segment i takes bits
+    # {j : j mod segments == i} — a fixed bit permutation, so the pigeonhole
+    # property is untouched (a pair within Hamming d still keeps ≥ s−d
+    # segments clean; every bit lives in exactly one segment). Contiguous
+    # ranges concentrated the signature's low-entropy bit RUNS (template
+    # corpora share long constant spans) into single near-constant segments
+    # whose buckets held most of the corpus: measured at the driver's sf1.0
+    # bench, contiguous (7,1) enumerated 1.36e9 candidate pairs with a
+    # 32k-doc hot bucket (a 5e8-pair single-task straggler); strided cuts
+    # that to 7.6e8 candidates / 17k max bucket. Output is unchanged — the
+    # exact bit_count filter below makes it blocking-plan independent.
+    seg_exprs = []
+    for i in range(segments):
+        bits = list(range(i, 64, segments))
+        e = None
+        for k, b in enumerate(bits):
+            term = F.shiftrightunsigned(F.col("sh"), b).bitwiseAND(F.lit(1))
+            term = F.shiftleft(term, k) if k else term
+            e = term if e is None else e.bitwiseOR(term)
+        seg_exprs.append(e)
     from itertools import combinations
 
     combos = list(combinations(range(segments), combo))
@@ -380,6 +390,14 @@ def simhash_dupes(
         for ci, c in enumerate(combos)
     ]
     blk = sh.select(id_col, "sh", F.explode(F.array(*blk_exprs)).alias("blk"))
+    # hamming is computed and filtered IN the join projection, BEFORE the
+    # pair dedup (r6, guide §2.3 "shuffle fewer bytes"): the old shape
+    # shuffled EVERY candidate pair (with both 8-byte signatures) through
+    # dropDuplicates and filtered after — 1.36e9 rows ≈ 44 GB of shuffle at
+    # the sf1.0 bench, 102 s. Duplicate (id_a, id_b) rows carry identical
+    # signatures, hence identical hamming, so filter-then-dedup ≡
+    # dedup-then-filter; only true pairs (≤ combos × |output|) reach the
+    # exchange.
     cand = (
         blk.alias("l")
         .join(
@@ -390,13 +408,27 @@ def simhash_dupes(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return cand.select("id_a", "id_b", "hamming")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy < 2.0 has no
+    bitwise_count). Overflow in the final multiply is intentional uint64
+    wraparound."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return (x * h01) >> np.uint64(56)
 
 
 def simhash_hamming_pairs_exact(
@@ -408,15 +440,27 @@ def simhash_hamming_pairs_exact(
     sh_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs Hamming scan over simhash64 — ORACLE ANCHOR for
-    ``simhash_dupes`` (r4, VERDICT r3 #5), not a scale API: the O(n²) theta
-    join exists so the blocked pigeonhole path can be gate-checked EQUAL to
-    exact truth at test scale (tests/test_training_ops.py::
-    test_simhash_blocked_equals_exact_scan). No DuckDB oracle is possible —
-    simhash64 is a numpy bit-vote over the repo's rolling polynomial shingle
-    hash, and re-expressing that 64-bit mixing in SQL would be a second
-    hand-rolled implementation inside a query string, not an independent
-    oracle (analysis in COVERAGE.md). Row-count guard mirrors
-    ``top_cosine_pairs`` (bounded probe, never an O(n) scan)."""
+    ``simhash_dupes`` (r4, VERDICT r3 #5), not a scale API: the exhaustive
+    all-pairs enumeration exists so the blocked pigeonhole path can be
+    gate-checked EQUAL to exact truth at test scale (tests/test_training_ops
+    .py::test_simhash_blocked_equals_exact_scan). No DuckDB oracle is
+    possible — simhash64 is a numpy bit-vote over the repo's rolling
+    polynomial shingle hash, and re-expressing that 64-bit mixing in SQL
+    would be a second hand-rolled implementation inside a query string, not
+    an independent oracle (analysis in COVERAGE.md). Row-count guard mirrors
+    ``top_cosine_pairs`` (bounded probe, never an O(n) scan).
+
+    r6 (optimization guide §2.1/§4.2): the former theta join
+    ``left.join(right, id_a < id_b)`` planned as a BroadcastNestedLoopJoin —
+    1.25e9 JVM row pairs at 50k docs, 116 s at the driver's sf1.0 bench.
+    The guard already bounds n ≤ max_rows, so the whole (id, sh) table fits
+    in one small broadcast (≤ ~2 MB at the default cap); each task now scans
+    a strided slice of the upper triangle against the broadcast signature
+    array with vectorized numpy XOR + SWAR popcount. Same exhaustive
+    enumeration, same output multiset (verified row-identical vs the theta
+    join at sf0.01/sf0.1 + property tests), ~40× less wall. The bounded
+    collect is guard-capped exactly like ann.py's codebook sample — never an
+    unbounded driver pull."""
     n = docs.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
@@ -429,13 +473,63 @@ def simhash_hamming_pairs_exact(
         if sh_frame is not None
         else docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     )
-    left = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    right = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    spark = sh.sparkSession
+    id_type = sh.schema[id_col].dataType
+    # theta-join semantics for NULLs: a NULL id never satisfies id_a < id_b
+    # and a NULL sh nulls bit_count(xor) out of the ≤ filter — both rows
+    # contribute no pairs, so drop them before the dense scan.
+    rows = (
+        sh.filter(F.col(id_col).isNotNull() & F.col("sh").isNotNull())
+        .select(F.col(id_col).alias("_id"), "sh")
+        .collect()
+    )
+    ids = np.array([r["_id"] for r in rows], dtype=object)
+    sig = np.array([r["sh"] for r in rows], dtype=np.int64).astype(np.uint64)
+    nn = len(rows)
+    out_schema = T.StructType(
+        [
+            T.StructField("_ua", id_type),
+            T.StructField("_ub", id_type),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+    if nn < 2:
+        return spark.createDataFrame([], out_schema).select(
+            F.col("_ua").alias("id_a"), F.col("_ub").alias("id_b"), "hamming"
+        )
+    bc = spark.sparkContext.broadcast((ids, sig))
+    # strided row assignment balances the triangle: row p costs (nn − p)
+    # comparisons, and p ≡ c (mod C) spreads cheap/expensive rows evenly
+    n_chunks = min(max(spark.sparkContext.defaultParallelism, 1) * 2, nn)
+    d = int(max_hamming)
+
+    def _scan(batches):
+        ids_l, s = bc.value
+        for pdf in batches:
+            ua, ub, hm = [], [], []
+            for c in pdf["id"]:
+                for p in range(int(c), nn - 1, n_chunks):
+                    h = _popcount64(s[p] ^ s[p + 1 :])
+                    hit = np.nonzero(h <= d)[0]
+                    if hit.size:
+                        ua.extend([ids_l[p]] * hit.size)
+                        ub.extend(ids_l[p + 1 + hit])
+                        hm.extend(h[hit].astype(np.int32))
+            yield pd.DataFrame({"_ua": ua, "_ub": ub, "hamming": hm})
+
+    raw = spark.range(0, n_chunks, numPartitions=n_chunks).mapInPandas(
+        _scan, out_schema
+    )
+    # positional enumeration visits each unordered ROW pair once; least/
+    # greatest restores the id_a < id_b orientation and the != filter drops
+    # equal-id row pairs exactly like the strict < in the old theta join
     return (
-        left.join(right, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        raw.select(
+            F.least("_ua", "_ub").alias("id_a"),
+            F.greatest("_ua", "_ub").alias("id_b"),
+            "hamming",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
     )
 
 

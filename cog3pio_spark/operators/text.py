@@ -62,16 +62,37 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
-    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+    # regexp_count of the char class == length of the regexp_replace-stripped
+    # string (r6, guide §4.1: counting avoids building a new string per row;
+    # \p{Punct} is ASCII-only so char-count semantics are identical)
+    return F.regexp_count(text, F.lit(r"\p{Punct}")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def _token_hit_pattern(marks: list[str]) -> str:
+    """Regex counting tokens exactly equal to one of ``marks`` under the
+    split-on-\\s+ tokenization: a hit is a marker bounded by string edge or
+    whitespace on both sides (tokens are maximal non-\\s runs, so token
+    equality ⇔ whitespace/edge-delimited occurrence). Zero-width look-arounds
+    keep adjacent hits countable ("to to" = 2)."""
+    return r"(?:^|(?<=\s))(?:" + "|".join(marks) + r")(?=\s|$)"
 
 
 def stopword_ratio(text: Column) -> Column:
     """NULL text → NULL (r5 review, verified live: under ANSI-off legacy
     sizeOfNull both sizes are -1, so NULL text returned -1/1 = -1.0 — a
-    config-dependent NEGATIVE ratio; ANSI-on gave NULL)."""
+    config-dependent NEGATIVE ratio; ANSI-on gave NULL).
+
+    r6 (guide §4.1): marker hits via regexp_count instead of an interpreted
+    HOF filter lambda — codegen'd AND eligible for whole-stage subexpression
+    elimination, so quality_score + stopword_ratio in one projection
+    evaluate it once (interpreted lambdas were re-evaluated per reference;
+    q38 measured 9.4 s → see OPTIMIZATION_r06.md). Token-equivalence of the
+    pattern is pinned by tests/test_training_ops.py::
+    test_text_regexp_hits_equal_hof_filter."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
-    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    hits = F.regexp_count(F.lower(F.trim(text)), F.lit(_token_hit_pattern(STOPWORDS)))
     return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
         hits / F.greatest(F.size(words), F.lit(1))
     )
@@ -82,19 +103,45 @@ def quality_score(text: Column) -> Column:
 
     Deterministic rubric (not a model): docs of reasonable length with
     moderate punctuation and non-zero stopword mass score high.
-    """
-    n = F.length(text)
-    len_score = F.when(n < 10, 0.0).when(n > 20000, 0.3).otherwise(1.0)
-    p = punct_ratio(text)
-    punct_score = F.when(p > 0.3, 0.2).otherwise(1.0 - p)
-    s = stopword_ratio(text)
-    stop_score = F.when(s > 0.0, 1.0).otherwise(0.5)
-    return F.round((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3), 6)
+
+    r6: the three features are materialized once into a struct and the
+    score decodes the fields (see ``_once``) — each when-chain reference of
+    punct/stopword re-ran its regex scan before."""
+    feats = F.struct(
+        F.length(text).alias("n"),
+        punct_ratio(text).alias("p"),
+        stopword_ratio(text).alias("s"),
+    )
+
+    def _decode(h: Column) -> Column:
+        len_score = F.when(h["n"] < 10, 0.0).when(h["n"] > 20000, 0.3).otherwise(1.0)
+        punct_score = F.when(h["p"] > 0.3, 0.2).otherwise(1.0 - h["p"])
+        stop_score = F.when(h["s"] > 0.0, 1.0).otherwise(0.5)
+        return F.round((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3), 6)
+
+    return _once(feats, _decode)
 
 
-def _marker_hits(words: Column, marks: list[str]) -> Column:
-    mk = list(marks)
-    return F.size(F.filter(words, lambda w: w.isin(*mk)))
+def _marker_hits(lowered: Column, marks: list[str]) -> Column:
+    # regexp_count over the lowered text, not an interpreted HOF filter over
+    # the split array (r6 — see stopword_ratio; token-equivalence pinned by
+    # test_text_regexp_hits_equal_hof_filter)
+    return F.regexp_count(lowered, F.lit(_token_hit_pattern(marks)))
+
+
+def _once(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once per row and feed the VALUE to ``fn``.
+
+    Subexpression elimination does not reach expressions inside conditional
+    (CASE WHEN) branches, so a when-chain referencing an expensive
+    subexpression k times evaluates it k times (measured: lang_id's marker
+    counts ~24 evaluations/row, 5.8 s over 50k docs — r6). Wrapping the
+    expensive part as the sole element of an array and decoding inside a
+    ``transform`` lambda binds it to a lambda VARIABLE: the decode logic
+    references the materialized value, never the expression. The lambda body
+    is interpreted, but it runs trivial comparisons on already-computed
+    scalars."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def lang_id(text: Column) -> Column:
@@ -102,19 +149,51 @@ def lang_id(text: Column) -> Column:
     NULL text → 'und' (r5 review, verified live: under ANSI-off legacy
     sizeOfNull every marker count is -1, so best==-1 passed the best==0
     guard and the first when() branch fired — NULL text got the
-    valid-looking label 'de', config-dependently)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    scores = [
-        (lang, _marker_hits(words, marks)) for lang, marks in sorted(LANG_MARKERS.items())
-    ]
-    best = scores[0][1]
-    for _, sc in scores[1:]:
-        best = F.greatest(best, sc)
-    out = F.lit("und")
-    # reverse order so earlier (lexicographic) languages win ties
-    for lang, sc in reversed(scores):
-        out = F.when(sc == best, F.lit(lang)).otherwise(out)
-    return F.when(text.isNull() | (best <= 0), F.lit("und")).otherwise(out)
+    valid-looking label 'de', config-dependently).
+
+    r6: ONE combined-alternation regex scan extracts every marker token
+    (regexp_extract_all), per-language counts come from tiny interpreted
+    filters over that extracted array, and both stages are materialized
+    through ``_once`` so nothing is re-evaluated by the when/greatest
+    chains — the old tree re-ran each marker count at every reference
+    (~24 scans per row; 5.8 s → ~1 s over 50k docs). For NULL text the
+    hit counts are ANSI-config-dependent (size(NULL) is −1 under legacy
+    sizeOfNull) but the _isnull guard fires first either way — output
+    stays config-independent, pinned by the existing both-ANSI-modes
+    tests. Per-row output pinned identical by
+    tests/test_training_ops.py::test_text_regexp_hits_equal_hof_filter."""
+    langs = sorted(LANG_MARKERS)
+    all_marks = sorted({m for marks in LANG_MARKERS.values() for m in marks})
+    pattern = r"(?:^|(?<=\s))(" + "|".join(all_marks) + r")(?=\s|$)"
+    payload = F.struct(
+        F.regexp_extract_all(F.lower(F.trim(text)), F.lit(pattern), 1).alias("m"),
+        text.isNull().alias("_isnull"),
+    )
+
+    def _member(marks: list[str]):
+        mk = tuple(marks)  # no default-arg closure (CLAUDE.md: it binds a Column)
+        return lambda w: w.isin(*mk)
+
+    def _count(h: Column) -> Column:
+        return F.struct(
+            *[
+                F.size(F.filter(h["m"], _member(LANG_MARKERS[lang]))).alias(lang)
+                for lang in langs
+            ],
+            h["_isnull"].alias("_isnull"),
+        )
+
+    def _decode(h: Column) -> Column:
+        best = h[langs[0]]
+        for lang in langs[1:]:
+            best = F.greatest(best, h[lang])
+        out = F.lit("und")
+        # reverse order so earlier (lexicographic) languages win ties
+        for lang in reversed(langs):
+            out = F.when(h[lang] == best, F.lit(lang)).otherwise(out)
+        return F.when(h["_isnull"] | (best <= 0), F.lit("und")).otherwise(out)
+
+    return _once(_once(payload, _count), _decode)
 
 
 def fingerprint(text: Column) -> Column:

@@ -825,6 +825,138 @@ def test_simhash_blocked_equals_exact_scan(spark):
         assert blocked == exact
 
 
+def test_text_regexp_hits_equal_hof_filter(spark):
+    """r6 optimization pin: the regexp-based marker counting + evaluate-once
+    struct staging in lang_id/quality_score/stopword_ratio/punct_ratio must
+    be row-identical to the original HOF-filter formulation (token equality
+    under split-on-\\s+), in BOTH ANSI modes."""
+    from cog3pio_spark.operators.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    def old_hits(words, mk):
+        mk = list(mk)
+        return F.size(F.filter(words, lambda w: w.isin(*mk)))
+
+    def old_stopword_ratio(text):
+        words = F.split(F.lower(F.trim(text)), r"\s+")
+        return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+            old_hits(words, STOPWORDS) / F.greatest(F.size(words), F.lit(1))
+        )
+
+    def old_punct_ratio(text):
+        stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+        return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+    def old_lang_id(text):
+        words = F.split(F.lower(F.trim(text)), r"\s+")
+        scores = [
+            (lang, old_hits(words, marks))
+            for lang, marks in sorted(LANG_MARKERS.items())
+        ]
+        best = scores[0][1]
+        for _, sc in scores[1:]:
+            best = F.greatest(best, sc)
+        out = F.lit("und")
+        for lang, sc in reversed(scores):
+            out = F.when(sc == best, F.lit(lang)).otherwise(out)
+        return F.when(text.isNull() | (best <= 0), F.lit("und")).otherwise(out)
+
+    def old_quality(text):
+        n = F.length(text)
+        len_score = F.when(n < 10, 0.0).when(n > 20000, 0.3).otherwise(1.0)
+        p = old_punct_ratio(text)
+        punct_score = F.when(p > 0.3, 0.2).otherwise(1.0 - p)
+        s = old_stopword_ratio(text)
+        stop_score = F.when(s > 0.0, 1.0).otherwise(0.5)
+        return F.round((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3), 6)
+
+    edge = [
+        (0, None), (1, ""), (2, "   "), (3, "the"), (4, "the the the"),
+        (5, "to to"), (6, " the and of to in "), (7, "the\nand\tof"),
+        (8, "der die und das nicht"), (9, "le la et les des"),
+        (10, "el la que los de"), (11, "xthe they other bother"),
+        (12, "the, and. of! to? in;"), (13, "a b the"), (14, "in"),
+        (15, "the  and   of"), (16, "THE AND OF TO IN"),
+        (17, "...!!!???"), (18, "mixed der the le el text und and et que"),
+        (19, "word " * 50 + "the"), (20, "über der bär"),
+        (21, "the and"),  # NBSP is not \s: one token, zero hits
+        (22, "end the"), (23, "the end"), (24, "x" * 25000 + " the"),
+        (25, "in in in in"), (26, "de la"), (27, "la la la"),
+    ]
+    df = spark.createDataFrame(edge, ["i", "text"])
+    t = F.col("text")
+    for ansi in ("true", "false"):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try:
+            rows = df.select(
+                "i",
+                old_lang_id(t).alias("ol"), lang_id(t).alias("nl"),
+                old_quality(t).alias("oq"), quality_score(t).alias("nq"),
+                F.round(old_stopword_ratio(t), 6).alias("os"),
+                F.round(stopword_ratio(t), 6).alias("ns"),
+                F.round(old_punct_ratio(t), 6).alias("op"),
+                F.round(punct_ratio(t), 6).alias("np"),
+            ).collect()
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        for r in rows:
+            assert r.ol == r.nl, f"ansi={ansi} row {r.i}: lang {r.ol} != {r.nl}"
+            assert r.oq == r.nq, f"ansi={ansi} row {r.i}: quality {r.oq} != {r.nq}"
+            assert r.os == r.ns, f"ansi={ansi} row {r.i}: stopword {r.os} != {r.ns}"
+            assert r.op == r.np, f"ansi={ansi} row {r.i}: punct {r.op} != {r.np}"
+
+
+def test_multiset_diff_formula_matches_exceptall(spark):
+    """q24's diff invariant (r6): the tagged-union aggregate
+    Σ_key |n_A − n_B| must equal count(A.exceptAll(B) ∪ B.exceptAll(A))
+    on every multiset relation — identical sides, rows missing from either
+    side, AND duplicated rows (the multiset case where a set-based diff
+    would undercount)."""
+    cols = ["id_a", "id_b", "hamming"]
+
+    def both_formulas(a_rows, b_rows):
+        a = spark.createDataFrame(a_rows, cols) if a_rows else spark.createDataFrame(
+            [], "id_a long, id_b long, hamming int"
+        )
+        b = spark.createDataFrame(b_rows, cols) if b_rows else spark.createDataFrame(
+            [], "id_a long, id_b long, hamming int"
+        )
+        old = a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+        tagged = a.select(
+            *cols, F.lit(1).alias("_nb"), F.lit(0).alias("_ne")
+        ).unionByName(b.select(*cols, F.lit(0).alias("_nb"), F.lit(1).alias("_ne")))
+        new = (
+            tagged.groupBy(*cols)
+            .agg(F.sum("_nb").alias("nb"), F.sum("_ne").alias("ne"))
+            .agg(
+                F.coalesce(F.sum(F.abs(F.col("nb") - F.col("ne"))), F.lit(0))
+                .cast("long")
+                .alias("val")
+            )
+            .collect()[0]["val"]
+        )
+        return old, new
+
+    r1, r2, r3 = (1, 2, 0), (3, 4, 2), (5, 6, 1)
+    cases = [
+        ([r1, r2], [r1, r2]),          # identical → 0
+        ([r1, r2, r3], [r1]),          # rows only in A → 2
+        ([r1], [r1, r2, r3]),          # rows only in B → 2
+        ([r1, r1, r2], [r1, r2, r2]),  # multiset imbalance → 2
+        ([], [r1]),                    # empty side
+        ([], []),                      # both empty → 0
+    ]
+    for a_rows, b_rows in cases:
+        old, new = both_formulas(a_rows, b_rows)
+        assert old == new, f"{a_rows} vs {b_rows}: exceptAll={old} formula={new}"
+
+
 def test_simhash_exact_anchor_guard(spark):
     from cog3pio_spark.operators.dedupe import simhash_hamming_pairs_exact
 
