@@ -548,8 +548,8 @@ def ngram_jaccard_pairs(
     gives co-occurrence counts |A∩B|; |A∪B| = |A|+|B|-|A∩B|. All equi-joins
     and aggs — fully SQL-expressible (oracle in __spark_entry__).
 
-    ``df_cap`` drops grams whose document frequency exceeds it before the
-    self-join (VERDICT r1 #8): a stop-phrase gram in 10⁷ docs would create a
+    ``df_cap`` drops grams whose document frequency exceeds it before pair
+    expansion (VERDICT r1 #8): a stop-phrase gram in 10⁷ docs would create a
     10¹⁴-row co-occurrence group. Exactness loss is confined to pairs whose
     qualifying overlap consists ENTIRELY of >cap stop-grams — for any real
     threshold such pairs are boilerplate joined by ubiquitous phrases, which
@@ -557,44 +557,99 @@ def ngram_jaccard_pairs(
     count in |A| and |B| (sizes are computed pre-cap), so Jaccard for
     surviving pairs is a lower bound that is exact whenever no shared gram
     was capped. The oracle SQL mirrors the cap.
+
+    r6 plan shape (guide §2.3/§2.4 — shuffle fewer bytes, remove exchanges;
+    output row-identical to the r1–r5 self-join formulation, pinned by the
+    q16 oracle hash + test_ngram_jaccard_shapes_agree):
+
+    * words are projected into a bound column ONCE — the old formulation
+      referenced the split() expression inside the HOF lambda, and HOFs
+      block subexpression elimination, so every sequence element re-split
+      the text (measured 2.8 s → 2.1 s for the gram stage at the 10× bench);
+    * the per-doc DISTINCT GRAM ARRAY is what gets checkpointed, so
+      ``sizes`` is a shuffle-free ``F.size`` projection (was a full
+      groupBy(id) pass over exploded grams) and small enough to broadcast
+      into the final join — the old shape shuffled the 10⁷-row candidate
+      table twice (by id_a, then id_b) just to attach two integers;
+    * the inverted index is ONE exchange on gram: window count (the df cap,
+      still applied BEFORE any member array materializes — arrays stay
+      ≤ df_cap at any corpus scale) → collect_list sharing the window's
+      hash partitioning → in-array positional pair expansion (the
+      minhash_lsh_dupes members idiom). The old shape paid an aggregate
+      exchange for df, a join exchange to apply it, and a self-join for
+      pairs — three gram-keyed exchanges collapsed into one.
+
+    Measured at the 10× measurement corpus (tools/probe_q16.py, 32 cores):
+    9.4 s → see OPTIMIZATION_r06.md; sf0.01 oracle hash unchanged.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = _spread_small_scan(docs).select(
-        F.col(id_col),
-        F.explode(
+    garr = (
+        _spread_small_scan(docs)
+        .select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice(words, i + 1, n))
-                    ),
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_w", i + 1, n))),
                 )
-            )
-        ).alias("gram"),
-    ).filter(F.size(words) >= n)
-    # materialize ONCE: sizes, the df filter, and both self-join sides would
-    # otherwise each re-run the interpreted gram transform (4 executions —
-    # measured 7.9 s → 5.6 s from this alone at sf0.1). Per-call
-    # localCheckpoint, same honesty contract as knn.py (no cross-run
-    # plan-cache reuse).
-    grams = grams.localCheckpoint(eager=True)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    rare = grams.groupBy("gram").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= df_cap
-    )
-    grams_capped = grams.join(rare.select("gram"), "gram")
-    co = (
-        grams_capped.alias("l")
-        .join(grams_capped.alias("r"), "gram")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            ).alias("_garr"),
         )
+    )
+    # materialize ONCE: sizes and the inverted index would otherwise each
+    # re-run the interpreted gram transform. Per-call localCheckpoint, same
+    # honesty contract as knn.py (no cross-run plan-cache reuse).
+    garr = garr.localCheckpoint(eager=True)
+    sizes = garr.select(F.col(id_col), F.size("_garr").alias("n_grams"))
+    grams = garr.select(F.col(id_col), F.explode("_garr").alias("gram"))
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("gram")
+    members = (
+        grams.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= df_cap)
+        .groupBy("gram")
+        .agg(F.collect_list(F.col(id_col)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # per-doc grams are distinct, so ids within a gram group are distinct:
+    # positional i<j expansion visits each unordered pair once and
+    # least/greatest restores the id_a < id_b orientation of the old
+    # self-join's l.id < r.id filter
+    pair_expr = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    co = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        co.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        co.join(
+            F.broadcast(
+                sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                    "n_grams", "na"
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                    "n_grams", "nb"
+                )
+            ),
+            "id_b",
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

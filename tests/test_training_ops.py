@@ -1418,3 +1418,74 @@ def test_text_features_null_text_ansi_independent(spark):
         assert r["n_bpe_tokens"] is None, (ansi, r["n_bpe_tokens"])
         assert r["n_tokens"] is None
         assert out["n2"]["lang_pred"] == "en"
+
+
+def test_ngram_jaccard_shapes_agree(spark):
+    """r6 plan restructure (window-cap + in-array pair expansion + broadcast
+    sizes) is row-identical to the original inverted-index self-join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        nw = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(nw))))
+    # planted near-dup pairs so the comparison is non-vacuous
+    for i in range(10):
+        base = " ".join(rng.choice(vocab) for _ in range(8))
+        rows.append((200 + 2 * i, base + " alpha"))
+        rows.append((201 + 2 * i, base + " beta"))
+    rows.append((500, None))
+    rows.append((501, "  "))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2, df_cap=8).collect()
+    }
+
+    # reference: the r1–r5 self-join formulation, inlined verbatim
+    n, df_cap, threshold = 3, 8, 0.2
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+                )
+            )
+        ).alias("gram"),
+    ).filter(F.size(words) >= n)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    rare = grams.groupBy("gram").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= df_cap
+    )
+    gc = grams.join(rare.select("gram"), "gram")
+    co = (
+        gc.alias("l")
+        .join(gc.alias("r"), "gram")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in co.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_grams", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_grams", "nb"),
+            "id_b",
+        )
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == ref and got, f"shapes diverged: {got ^ ref}"
