@@ -193,9 +193,19 @@ def minhash_lsh_dupes(
         F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle).alias("sig")
     )
 
+    # r6 (guide §2.3 — shuffle keys, not payloads): the signature table is
+    # materialized ONCE (it now has three consumers: the banded index and
+    # the two per-side joins below) and the (band, bucket) exchange carries
+    # ONLY (id, band, bucket) — the old shape shuffled and window-sorted the
+    # full 64-long signature (~520 B/row, ~95% of the stage's bytes) just so
+    # the agreement estimate could be computed inline during pair expansion.
+    # The estimate is instead computed AFTER the pair-dedup aggregate by
+    # equi-joining the two signatures back onto the few surviving candidate
+    # pairs (pairs ≪ banded rows by construction — LSH exists to make that
+    # true), identical per pair, so the output is row-identical.
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         id_col,
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -208,7 +218,8 @@ def minhash_lsh_dupes(
     # banded SELF-join would recompute the signature stage for both sides
     # (no exchange reuse) and shuffle twice; this shape shuffles once. The
     # row_number/count windows share the groupBy's hash partitioning, so the
-    # cap costs one sort, not an extra exchange.
+    # cap costs one sort, not an extra exchange (and the cap still binds
+    # BEFORE collect_list — member arrays stay ≤ bucket_cap on any corpus).
     wb = Window.partitionBy("band", "bucket").orderBy(id_col)
     wc = Window.partitionBy("band", "bucket")
     capped = (
@@ -219,30 +230,18 @@ def minhash_lsh_dupes(
     members = (
         capped.groupBy("band", "bucket")
         .agg(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ms"),
+            F.collect_list(F.col(id_col)).alias("ms"),
             F.max(F.col("_cnt") > bucket_cap).alias("overflow"),
         )
         .filter(F.size("ms") >= 2)
     )
-    # jaccard_est is computed INSIDE the pair expression, before the
-    # pair-dedup shuffle (r4 review: the old shape shuffled both full
-    # 64-long signatures — ~1 KB/pair — through groupBy(id_a, id_b) only
-    # to reduce them to one double right after; the estimate is identical
-    # for a pair in every bucket, so the shuffle now carries one scalar).
-    def _est(a, b):
-        return F.size(
-            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m)
-        ) / F.lit(float(num_hashes))
-
     pair_expr = F.flatten(
         F.transform(
             "ms",
             lambda x, i: F.transform(
                 F.slice("ms", i + 2, F.size("ms")),
                 lambda y: F.struct(
-                    F.least(x["id"], y["id"]).alias("id_a"),
-                    F.greatest(x["id"], y["id"]).alias("id_b"),
-                    _est(x["sig"], y["sig"]).alias("est"),
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
                 ),
             ),
         )
@@ -250,13 +249,22 @@ def minhash_lsh_dupes(
     pairs = (
         members.select(F.explode(pair_expr).alias("p"), "overflow")
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(
-            F.first("p.est").alias("jaccard_est"),
-            F.max("overflow").alias("bucket_overflow"),
-        )
+        .agg(F.max("overflow").alias("bucket_overflow"))
     )
-    near = pairs.filter(F.col("jaccard_est") >= jaccard_threshold).select(
-        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"), "bucket_overflow"
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    est = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(num_hashes))
+    near = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select(
+            "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"),
+            "bucket_overflow",
+        )
     )
     return near.unionByName(star_pairs)
 
