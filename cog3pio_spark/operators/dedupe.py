@@ -178,9 +178,13 @@ def minhash_lsh_dupes(
             F.min_by(text_col, F.col(id_col)).alias(text_col),
         )
     )
+    # r6: star pairs via a window min over the thin (id, _sh) pass — the old
+    # groupBy(min) + join-back shape exchanged the thin table twice (agg
+    # input + join probe); the window shares one exchange and the same
+    # partial ordering. Same rows: rep = min id per fingerprint either way.
     thin = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_sh"))
     star_pairs = (
-        thin.join(thin.groupBy("_sh").agg(F.min(id_col).alias("_rep")), "_sh")
+        thin.withColumn("_rep", F.min(id_col).over(Window.partitionBy("_sh")))
         .filter(F.col(id_col) != F.col("_rep"))
         .select(
             F.col("_rep").alias("id_a"),
@@ -204,12 +208,20 @@ def minhash_lsh_dupes(
     # pairs (pairs ≪ banded rows by construction — LSH exists to make that
     # true), identical per pair, so the output is row-identical.
     sig = sig.localCheckpoint(eager=True)
+    # bucket key hashes the band's signature rows DIRECTLY (r6): the old
+    # slice(...).cast("string") formatted 64 longs into text per (id, band)
+    # row before hashing — pure serialization overhead; hashing the fixed
+    # `rows` longs is the same 64-bit bucket-collision class (collisions
+    # only ever MERGE buckets, i.e. add candidates that the threshold then
+    # filters — sf0.1 golden byte-stable across the change).
     banded = sig.select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("string")),
+                lambda b: F.xxhash64(
+                    *[F.element_at("sig", b * rows + j + 1) for j in range(rows)]
+                ),
             )
         ).alias("band", "bucket"),
     )
@@ -591,16 +603,25 @@ def ngram_jaccard_pairs(
     9.4 s → see OPTIMIZATION_r06.md; sf0.01 oracle hash unchanged.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # gram key = xxhash64 over the n word hashes rather than over the
+    # re-concatenated gram string: each word's bytes are hashed once instead
+    # of n times through slice+concat_ws, and the outer hash mixes n fixed
+    # 8-byte values (measured 1.6 s → 0.9 s warm at the 10× corpus). Same
+    # 64-bit collision class as the old string hash — outputs are identical
+    # absent a collision either formulation is equally exposed to.
     garr = (
         _spread_small_scan(docs)
         .select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= n)
+        .select(F.col(id_col), F.transform("_w", lambda w: F.xxhash64(w)).alias("_wh"))
         .select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - n),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_w", i + 1, n))),
+                    F.sequence(F.lit(0), F.size("_wh") - n),
+                    lambda i: F.xxhash64(
+                        *[F.element_at("_wh", i + j + 1) for j in range(n)]
+                    ),
                 )
             ).alias("_garr"),
         )
