@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cog3pio_spark.functions import cells as C
 
@@ -194,31 +195,70 @@ def knn_sort_merge(
         rows = rows.unionByName(lo_ghosts).unionByName(hi_ghosts)
     rows = rows.drop("_rn", "_n")
 
-    # curve-order neighborhood: collect the ±scan_width rows around each row,
-    # one task per bucket (ghosts make the frame identical to global order)
-    w = Window.partitionBy("_bucket").orderBy(*order_cols).rowsBetween(
-        -scan_width, scan_width
+    # curve-order neighborhood, one task per bucket (ghosts make each frame
+    # identical to global curve order). r6 (guide §4.2): the former
+    # Window.rowsBetween(-scan_width, scan_width) + collect_list built a
+    # (2·scan_width+1)-struct ARRAY FOR EVERY ROW — queries AND points —
+    # then threw away the ~95% of arrays belonging to point rows; at the
+    # 10× bench that is ~40M struct materializations to keep ~2M. The
+    # per-bucket pandas kernel sorts the bucket once by the SAME
+    # (_cell, _is_q, _id) total order (unique keys — pandas/JVM sort parity
+    # is exact) and slices the position-based ±scan_width frame for
+    # NON-GHOST QUERY rows only, emitting exactly the candidate rows the
+    # old explode produced (ghost points still serve as frame members;
+    # ghost/other query rows still occupy frame positions; the row itself
+    # and other queries are dropped from candidates, matching the
+    # collect_list's when(~_is_q) null-skip). Row-identical by construction;
+    # pinned by tests/test_knn_sort_merge.py parity tests + the q43 oracle.
+    id_type = both.schema["_id"].dataType
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id, id_type),
+            T.StructField("q_lat", T.DoubleType()),
+            T.StructField("q_lng", T.DoubleType()),
+            T.StructField(point_id, id_type),
+            T.StructField("p_lat", T.DoubleType()),
+            T.StructField("p_lng", T.DoubleType()),
+        ]
     )
-    neigh = rows.withColumn(
-        "_nbrs",
-        F.collect_list(
-            F.when(~F.col("_is_q"), F.struct("_id", "lat", "lng"))
-        ).over(w),
-    ).filter(F.col("_is_q") & ~F.col("_ghost"))
+    sw = int(scan_width)
 
-    cand = neigh.select(
-        F.col("_id").alias(query_id),
-        F.col("lat").alias("q_lat"),
-        F.col("lng").alias("q_lng"),
-        F.explode("_nbrs").alias("n"),
-    ).select(
-        query_id,
-        "q_lat",
-        "q_lng",
-        F.col("n._id").alias(point_id),
-        F.col("n.lat").alias("p_lat"),
-        F.col("n.lng").alias("p_lng"),
-    )
+    def _frames(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_cell", "_is_q", "_id"])
+        isq = pdf["_is_q"].to_numpy()
+        ghost = pdf["_ghost"].to_numpy()
+        ids = pdf["_id"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        lng = pdf["lng"].to_numpy()
+        nrows = len(pdf)
+        q_idx = np.nonzero(isq & ~ghost)[0]
+        qa, qla, qlg, pa, pla, plg = [], [], [], [], [], []
+        for i in q_idx:
+            lo, hi = max(0, i - sw), min(nrows, i + sw + 1)
+            sel = np.nonzero(~isq[lo:hi])[0] + lo
+            if sel.size:
+                qa.append(np.repeat(ids[i], sel.size))
+                qla.append(np.repeat(lat[i], sel.size))
+                qlg.append(np.repeat(lng[i], sel.size))
+                pa.append(ids[sel])
+                pla.append(lat[sel])
+                plg.append(lng[sel])
+        if not qa:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="float64") for c in cand_schema}
+            )
+        return pd.DataFrame(
+            {
+                query_id: np.concatenate(qa),
+                "q_lat": np.concatenate(qla),
+                "q_lng": np.concatenate(qlg),
+                point_id: np.concatenate(pa),
+                "p_lat": np.concatenate(pla),
+                "p_lng": np.concatenate(plg),
+            }
+        )
+
+    cand = rows.groupBy("_bucket").applyInPandas(_frames, cand_schema)
     dist = cand.withColumn(
         "dist_m", haversine_m(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng"))
     )
