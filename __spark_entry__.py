@@ -744,11 +744,27 @@ def q31_cell_range_join(spark, sf):
         & (F.col("s2_cell") <= F.col("range_hi")),
     ).select("c_custkey", "anchor_key")
     fast = fast.localCheckpoint(eager=True)
-    spec = spec.localCheckpoint(eager=True)
+    # multiset symmetric difference via ONE tagged union + aggregate (r6,
+    # the q24 shape — |A ⊖ B| = Σ_key |n_A − n_B|): the two exceptAll joins
+    # shuffled both match sets twice and needed spec checkpointed for its
+    # two consumers; the tagged union shuffles each side once and spec has
+    # a single consumer again (no checkpoint barrier). Formula equality is
+    # pinned by test_multiset_diff_formula_matches_exceptall.
+    tagged = fast.select(
+        "c_custkey", "anchor_key", F.lit(1).alias("_nf"), F.lit(0).alias("_ns")
+    ).unionByName(
+        spec.select(
+            "c_custkey", "anchor_key", F.lit(0).alias("_nf"), F.lit(1).alias("_ns")
+        )
+    )
     diff = (
-        fast.exceptAll(spec)
-        .unionByName(spec.exceptAll(fast))
-        .agg(F.count("*").cast("long").alias("val"))
+        tagged.groupBy("c_custkey", "anchor_key")
+        .agg(F.sum("_nf").alias("nf"), F.sum("_ns").alias("ns"))
+        .agg(
+            F.coalesce(F.sum(F.abs(F.col("nf") - F.col("ns"))), F.lit(0))
+            .cast("long")
+            .alias("val")
+        )
         .select(F.lit("rewrite_vs_theta_diff").alias("invariant"), "val")
     )
     nonzero = fast.agg(
