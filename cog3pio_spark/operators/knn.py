@@ -365,18 +365,29 @@ def knn_join(
 
     # spread first: the h3x pandas_udf otherwise runs single-task on a
     # single-split input (no-op at real scale; measured 5.3→2.9 s at sf0.1)
-    q = spread_small_scan(queries).select(
+    q_lazy = spread_small_scan(queries).select(
         query_id,
         F.col("lat").alias("q_lat"),
         F.col("lng").alias("q_lng"),
         C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("q_cell"),
-    ).localCheckpoint(eager=True)
-    p = spread_small_scan(points).select(
+    )
+    p_lazy = spread_small_scan(points).select(
         point_id,
         F.col("lat").alias("p_lat"),
         F.col("lng").alias("p_lng"),
         C.h3x_cell(F.col("lat"), F.col("lng"), res).alias("cell"),
-    ).localCheckpoint(eager=True)
+    )
+    # materialize the two projections CONCURRENTLY (guide §2.6 — actions
+    # are sequential only because driver code calls them sequentially; the
+    # two cell-annotation jobs are independent, so the second no longer
+    # waits out the first's tail). Thread-pool jobs inherit nothing they
+    # need here; each call returns its own checkpointed frame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fq = pool.submit(lambda: q_lazy.localCheckpoint(eager=True))
+        fp = pool.submit(lambda: p_lazy.localCheckpoint(eager=True))
+        q, p = fq.result(), fp.result()
 
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
 
@@ -409,7 +420,11 @@ def knn_join(
     # pass) to the rare truly-isolated queries. Each phase result is tiny
     # (≤ |queries|·k rows) and consumed by 2-3 downstream branches, so it is
     # checkpointed rather than recomputed per consumer.
-    ranked = ring_phase(q, ring).localCheckpoint(eager=True)
+    # lazy checkpoint (r6): the first consumer (the shortfall probe below)
+    # materializes the phase result as a side effect of its own job, so the
+    # synchronous eager barrier disappears while later consumers still read
+    # the materialized blocks — one fewer scheduling round-trip per phase.
+    ranked = ring_phase(q, ring).localCheckpoint(eager=False)
     short_q = shortfall(q, ranked)
     # r5: skip the escalation/brute machinery entirely when NO query came
     # up short (the common case — ring coverage is sized for it). The
@@ -425,7 +440,7 @@ def knn_join(
         ranked = (
             ranked.join(short_q.select(query_id), query_id, "left_anti")
             .unionByName(escalated)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the next probe
         )
         short = shortfall(q, ranked).select(query_id, "q_lat", "q_lng")
         if short.isEmpty():
