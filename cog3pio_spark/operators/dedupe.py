@@ -207,7 +207,10 @@ def minhash_lsh_dupes(
     # equi-joining the two signatures back onto the few surviving candidate
     # pairs (pairs ≪ banded rows by construction — LSH exists to make that
     # true), identical per pair, so the output is row-identical.
-    sig = sig.localCheckpoint(eager=True)
+    # lazy checkpoint: all three consumers sit inside one downstream job
+    # DAG, whose first stage materializes the blocks — the eager barrier
+    # added a full synchronous job round-trip for nothing
+    sig = sig.localCheckpoint(eager=False)
     # bucket key hashes the band's signature rows DIRECTLY (r6): the old
     # slice(...).cast("string") formatted 64 longs into text per (id, band)
     # row before hashing — pure serialization overhead; hashing the fixed
