@@ -501,16 +501,17 @@ def q24_simhash_dupes(spark, sf):
     # one signature pass feeds BOTH implementations (the UDF over the full
     # corpus is the shared cost; the comparison exercises the independent
     # blocking vs theta-join machinery downstream of it)
-    sh = simhash_signatures(docs).localCheckpoint(eager=True)
+    sh = simhash_signatures(docs).localCheckpoint(eager=False)
     blocked = simhash_dupes(docs, max_hamming=6, sh_frame=sh).select(
         "id_a", "id_b", "hamming"
     )
     exact = simhash_hamming_pairs_exact(docs, max_hamming=6, sh_frame=sh).select(
         "id_a", "id_b", "hamming"
     )
-    # blocked feeds two consumers (diff + non-vacuity) — checkpoint once;
-    # exact has a single consumer, no materialization needed (r6)
-    blocked = blocked.localCheckpoint(eager=True)
+    # blocked feeds two consumers (diff + non-vacuity) — checkpoint once
+    # (lazy: both consumers sit in the single output job); exact has a
+    # single consumer, no materialization needed (r6)
+    blocked = blocked.localCheckpoint(eager=False)
     # multiset symmetric difference via ONE tagged union + aggregate (r6,
     # guide §2.4): |A ⊖ B| = Σ_key |n_A − n_B|, which is exactly what
     # count(A.exceptAll(B) ∪ B.exceptAll(A)) computed — but in one shuffle
@@ -743,7 +744,7 @@ def q31_cell_range_join(spark, sf):
         (F.col("s2_cell") >= F.col("range_lo"))
         & (F.col("s2_cell") <= F.col("range_hi")),
     ).select("c_custkey", "anchor_key")
-    fast = fast.localCheckpoint(eager=True)
+    fast = fast.localCheckpoint(eager=False)
     # multiset symmetric difference via ONE tagged union + aggregate (r6,
     # the q24 shape — |A ⊖ B| = Σ_key |n_A − n_B|): the two exceptAll joins
     # shuffled both match sets twice and needed spec checkpointed for its

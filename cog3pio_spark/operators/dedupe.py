@@ -631,8 +631,10 @@ def ngram_jaccard_pairs(
     )
     # materialize ONCE: sizes and the inverted index would otherwise each
     # re-run the interpreted gram transform. Per-call localCheckpoint, same
-    # honesty contract as knn.py (no cross-run plan-cache reuse).
-    garr = garr.localCheckpoint(eager=True)
+    # honesty contract as knn.py (no cross-run plan-cache reuse); lazy —
+    # the first consumer's stage materializes the blocks, later consumers
+    # (the broadcast sizes builds) reuse them without an eager barrier.
+    garr = garr.localCheckpoint(eager=False)
     sizes = garr.select(F.col(id_col), F.size("_garr").alias("n_grams"))
     grams = garr.select(F.col(id_col), F.explode("_garr").alias("gram"))
     from pyspark.sql import Window
