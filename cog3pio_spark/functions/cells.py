@@ -52,50 +52,85 @@ def s2_cell(lat: Column, lng: Column, level: int) -> Column:
     return _u(lat, lng)
 
 
-def _cells_or_null(c: pd.Series, fn):
-    """Apply ``fn(ndarray[int64]) -> ndarray[int64]`` over non-null cell ids;
-    NULL cells → NULL outputs (r5 review: Arrow delivers null longs to
-    pandas_udfs as NaN, and ``.to_numpy(np.int64)`` silently casts NaN to
-    INT64_MIN — a VALID-LOOKING garbage cell id that defeated downstream
-    null guards, e.g. the checkpoint sink's loud NULL-part_key check)."""
-    mask = c.isna().to_numpy()
+def _int_cells(c: pd.Series) -> np.ndarray:
+    """Non-null int64 cell batch for a kernel, or a LOUD error.
+
+    ADVICE r5 (high): when ANY row of a LongType Arrow batch is null, the
+    whole batch reaches the pandas_udf as float64 — and hex ids pack
+    significant data into the LOW bits (res<<59|face<<56|q<<28|r), so the
+    long→float64 conversion has ALREADY rounded every non-null id in the
+    batch to a float-representable value (verified: a res-8 id came back
+    ~230 lattice steps away — a valid-looking cell, the worst failure
+    class). No in-kernel recovery exists at that point. The fix is at the
+    SQL layer (`_null_masked` coalesces NULL to a valid sentinel so the
+    batch stays int64 and restores NULL after); this guard makes any
+    OTHER null-bearing path fail loudly instead of silently corrupting."""
+    if c.dtype != np.int64:
+        raise TypeError(
+            f"cell kernel received dtype={c.dtype} (expected int64): a "
+            "null-bearing long batch arrives as float64 with every id "
+            "already rounded — route cells through the null-masked column "
+            "wrappers in functions/cells.py, never into a raw pandas_udf"
+        )
+    return c.to_numpy(np.int64)
+
+
+def _null_masked(cell: Column, udf) -> Column:
+    """NULL-in → NULL-out around a never-null int64 UDF input (see
+    ``_int_cells``): NULL cells are coalesced to 0 so Arrow delivers an
+    int64 batch with every real id bit-exact, the null mask rides along as
+    a second (boolean) argument so kernels can exclude those rows from the
+    numpy fn (some kernels assert shape properties, e.g. uniform
+    resolution, that a placeholder would violate), and the result column
+    restores NULL where the input was NULL."""
+    return F.when(cell.isNull(), F.lit(None)).otherwise(
+        udf(F.coalesce(cell, F.lit(0)), cell.isNull())
+    )
+
+
+def _valid_apply(c: pd.Series, nulls: pd.Series, fn) -> pd.Series:
+    """Run ``fn(ndarray[int64]) -> ndarray`` over the non-masked rows of a
+    bit-exact int64 batch; masked rows get a placeholder (discarded by the
+    SQL-layer NULL restore in ``_null_masked``)."""
+    a = _int_cells(c)
+    mask = nulls.to_numpy()
     if not mask.any():
-        return pd.Series(fn(c.to_numpy(np.int64)))
-    out = np.zeros(len(c), dtype=np.int64)
+        return pd.Series(fn(a))
     valid = ~mask
-    if valid.any():
-        out[valid] = fn(c.to_numpy()[valid].astype(np.int64))
-    return pd.Series(out).astype("Int64").mask(mask)
+    sample = fn(a[valid]) if valid.any() else np.zeros(0, dtype=np.int64)
+    out = np.zeros(len(a), dtype=sample.dtype if valid.any() else np.int64)
+    out[valid] = sample
+    return pd.Series(out)
 
 
 def s2_range_min(cell: Column) -> Column:
     @pandas_udf(T.LongType())
-    def _u(c: pd.Series) -> pd.Series:
-        return _cells_or_null(
-            c, lambda a: _s2.to_signed(_s2.range_min(_s2.from_signed(a)))
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        return _valid_apply(
+            c, nulls, lambda a: _s2.to_signed(_s2.range_min(_s2.from_signed(a)))
         )
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def s2_range_max(cell: Column) -> Column:
     @pandas_udf(T.LongType())
-    def _u(c: pd.Series) -> pd.Series:
-        return _cells_or_null(
-            c, lambda a: _s2.to_signed(_s2.range_max(_s2.from_signed(a)))
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        return _valid_apply(
+            c, nulls, lambda a: _s2.to_signed(_s2.range_max(_s2.from_signed(a)))
         )
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def s2_parent(cell: Column, level: int) -> Column:
     @pandas_udf(T.LongType())
-    def _u(c: pd.Series) -> pd.Series:
-        return _cells_or_null(
-            c, lambda a: _s2.to_signed(_s2.parent(_s2.from_signed(a), level))
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        return _valid_apply(
+            c, nulls, lambda a: _s2.to_signed(_s2.parent(_s2.from_signed(a), level))
         )
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def h3x_cell(lat: Column, lng: Column, res: int) -> Column:
@@ -112,10 +147,10 @@ def h3x_cell(lat: Column, lng: Column, res: int) -> Column:
 
 def h3x_parent(cell: Column, res: int) -> Column:
     @pandas_udf(T.LongType())
-    def _u(c: pd.Series) -> pd.Series:
-        return _cells_or_null(c, lambda a: _h3x.parent(a, res))
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        return _valid_apply(c, nulls, lambda a: _h3x.parent(a, res))
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def h3x_resolution(cell: Column) -> Column:
@@ -124,40 +159,34 @@ def h3x_resolution(cell: Column) -> Column:
     which require uniform-resolution input). NULL cell → NULL."""
 
     @pandas_udf(T.IntegerType())
-    def _u(c: pd.Series) -> pd.Series:
-        mask = c.isna().to_numpy()
-        if not mask.any():
-            return pd.Series(_h3x.resolution(c.to_numpy(np.int64)).astype(np.int32))
-        out = np.zeros(len(c), dtype=np.int32)
-        valid = ~mask
-        if valid.any():
-            out[valid] = _h3x.resolution(
-                c.to_numpy()[valid].astype(np.int64)
-            ).astype(np.int32)
-        return pd.Series(out).astype("Int32").mask(mask)
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        return _valid_apply(c, nulls, lambda a: _h3x.resolution(a).astype(np.int32))
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def h3x_kring(cell: Column, k: int) -> Column:
     """ARRAY<BIGINT> of all cells within hex distance ≤ k (for explode+join).
-    NULL cell → NULL array (r5: NaN-through-int64 made garbage rings)."""
+    NULL cell → NULL array (r5: NaN-through-int64 made garbage rings; r6 /
+    ADVICE r5 high: the ring kNN feeds this from q_cell, which is NULL for
+    NaN coords — one such query used to flip the whole Arrow batch to
+    float64 and silently corrupt every OTHER query's ring)."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
-    def _u(c: pd.Series) -> pd.Series:
-        mask = c.isna().to_numpy()
+    def _u(c: pd.Series, nulls: pd.Series) -> pd.Series:
+        a = _int_cells(c)
+        mask = nulls.to_numpy()
         if not mask.any():
-            ring = _h3x.k_ring(c.to_numpy(np.int64), k)  # (n, 3k(k+1)+1)
-            return pd.Series(list(ring))
-        out: list = [None] * len(c)
+            return pd.Series(list(_h3x.k_ring(a, k)))  # (n, 3k(k+1)+1)
+        out: list = [None] * len(a)
         valid_idx = np.nonzero(~mask)[0]
         if valid_idx.size:
-            ring = _h3x.k_ring(c.to_numpy()[valid_idx].astype(np.int64), k)
+            ring = _h3x.k_ring(a[valid_idx], k)
             for j, i in enumerate(valid_idx.tolist()):
                 out[i] = ring[j]
         return pd.Series(out, dtype=object)
 
-    return _u(cell)
+    return _null_masked(cell, _u)
 
 
 def h3x_multi_res(lat: Column, lng: Column, res_lo: int = 5, res_hi: int = 12) -> Column:

@@ -263,3 +263,58 @@ def test_cover_bbox_is_true_covering():
             if r > lo:
                 cur = h3x.parent(cur, r - 1)
         assert covered.all(), (lat0, lng0, lat1, lng1, int((~covered).sum()))
+
+
+def test_null_bearing_cell_batch_keeps_ids_bit_exact(spark):
+    """ADVICE r5 (high): one NULL cell in an Arrow batch used to flip the
+    whole LongType batch to float64, silently rounding EVERY non-null hex id
+    (low bits carry q/r — a res-8 id came back ~230 lattice steps away).
+    The null-masked wrappers must return bit-exact ids alongside NULLs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.cells import h3x
+    from cog3pio_spark.functions import cells as C
+
+    lat = np.linspace(-60, 60, 64)
+    lng = np.linspace(-170, 170, 64)
+    ids = h3x.latlng_to_cell(lat, lng, 8).astype(np.int64)
+    rows = [(int(c),) for c in ids] + [(None,)]
+    df = spark.createDataFrame(rows, ["cell"]).coalesce(1)  # ONE batch
+
+    got = df.select(
+        "cell",
+        C.h3x_parent(F.col("cell"), 5).alias("p5"),
+        C.h3x_resolution(F.col("cell")).alias("res"),
+        C.h3x_kring(F.col("cell"), 1).alias("ring"),
+    ).collect()
+    by_cell = {r["cell"]: r for r in got}
+    assert by_cell[None]["p5"] is None
+    assert by_cell[None]["res"] is None
+    assert by_cell[None]["ring"] is None
+    exp_p5 = h3x.parent(ids, 5)
+    exp_ring = h3x.k_ring(ids, 1)
+    for i, c in enumerate(ids):
+        r = by_cell[int(c)]
+        assert r["p5"] == int(exp_p5[i]), f"parent id rounded for {c}"
+        assert r["res"] == 8
+        assert sorted(r["ring"]) == sorted(int(x) for x in exp_ring[i])
+
+    # s2 wrappers: same contract on the signed carrier
+    from cog3pio_spark.cells import s2
+
+    s2ids = s2.to_signed(s2.latlng_to_cell(lat, lng, 12)).astype(np.int64)
+    rows = [(int(c),) for c in s2ids] + [(None,)]
+    df2 = spark.createDataFrame(rows, ["cell"]).coalesce(1)
+    got2 = {r["cell"]: r for r in df2.select(
+        "cell",
+        C.s2_parent(F.col("cell"), 8).alias("p8"),
+        C.s2_range_min(F.col("cell")).alias("lo"),
+        C.s2_range_max(F.col("cell")).alias("hi"),
+    ).collect()}
+    assert got2[None]["p8"] is None and got2[None]["lo"] is None
+    exp_p8 = s2.to_signed(s2.parent(s2.from_signed(s2ids), 8))
+    exp_lo = s2.to_signed(s2.range_min(s2.from_signed(s2ids)))
+    for i, c in enumerate(s2ids):
+        assert got2[int(c)]["p8"] == int(exp_p8[i])
+        assert got2[int(c)]["lo"] == int(exp_lo[i])
