@@ -181,8 +181,14 @@ def minhash_lsh_dupes(
     # r6: star pairs via a window min over the thin (id, _sh) pass — the old
     # groupBy(min) + join-back shape exchanged the thin table twice (agg
     # input + join probe); the window shares one exchange and the same
-    # partial ordering. Same rows: rep = min id per fingerprint either way.
-    thin = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_sh"))
+    # partial ordering. Same rows: rep = min id per fingerprint either way
+    # FOR NON-NULL keys; NULL-text docs (fingerprint(NULL) = NULL) must be
+    # filtered explicitly because the old inner join on _sh dropped NULL
+    # keys while Window.partitionBy groups them — without the filter, two
+    # NULL-text docs would be emitted as exact duplicates of each other.
+    thin = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_sh")).filter(
+        F.col("_sh").isNotNull()
+    )
     star_pairs = (
         thin.withColumn("_rep", F.min(id_col).over(Window.partitionBy("_sh")))
         .filter(F.col(id_col) != F.col("_rep"))
@@ -591,9 +597,10 @@ def ngram_jaccard_pairs(
       the text (measured 2.8 s → 2.1 s for the gram stage at the 10× bench);
     * the per-doc DISTINCT GRAM ARRAY is what gets checkpointed, so
       ``sizes`` is a shuffle-free ``F.size`` projection (was a full
-      groupBy(id) pass over exploded grams) and small enough to broadcast
-      into the final join — the old shape shuffled the 10⁷-row candidate
-      table twice (by id_a, then id_b) just to attach two integers;
+      groupBy(id) pass over exploded grams); the final joins carry no
+      forced broadcast hint — AQE broadcasts sizes at runtime when it
+      fits (gate/bench scale) and shuffle-joins a corpus-scale sizes
+      table, which one row per document becomes at 10⁷+ docs;
     * the inverted index is ONE exchange on gram: window count (the df cap,
       still applied BEFORE any member array materializes — arrays stay
       ≤ df_cap at any corpus scale) → collect_list sharing the window's
@@ -639,6 +646,14 @@ def ngram_jaccard_pairs(
     grams = garr.select(F.col(id_col), F.explode("_garr").alias("gram"))
     from pyspark.sql import Window
 
+    # Hot-key note (r6 review): the window count buffers a hot stop-gram's
+    # rows in ONE task's (spillable) window buffer before the filter drops
+    # them. That is the same single-task hot-key concentration the r1–r5
+    # shape had — its cap-applying sort-merge join also sorted every
+    # hot-gram row in one join task — so this is not a scale regression,
+    # and the map-side-clean alternative (partial-agg df → anti-join the
+    # tiny hot list before the exchange) measured 5.78 s vs 4.88 s at the
+    # 10× corpus (identical 2600-row output), so the window shape is kept.
     wdf = Window.partitionBy("gram")
     members = (
         grams.withColumn("_df", F.count("*").over(wdf))
@@ -668,19 +683,21 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     out = (
+        # NO forced broadcast hint on sizes: it has one row per document, so
+        # a hard F.broadcast() would collect a corpus-scale table to the
+        # driver at 10⁷+ docs. AQE's runtime size check converts these
+        # joins to broadcast exactly when sizes actually fits (it does at
+        # gate/bench scale) and leaves them as shuffles when it does not —
+        # the scale-adaptive behavior the hint would have destroyed.
         co.join(
-            F.broadcast(
-                sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
-                    "n_grams", "na"
-                )
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "n_grams", "na"
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
-                    "n_grams", "nb"
-                )
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "n_grams", "nb"
             ),
             "id_b",
         )

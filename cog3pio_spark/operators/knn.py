@@ -28,6 +28,10 @@ from cog3pio_spark.functions import cells as C
 
 EARTH_RADIUS_M = 6378137.0
 
+# target rows per sort-merge bucket once the corpus outgrows the shuffle
+# partition count — bounds the pandas frame one kernel task materializes
+_BUCKET_ROWS_TARGET = 2_000_000
+
 
 def haversine_m(lat1, lng1, lat2, lng2):
     """Great-circle distance in meters — pure column math (codegen)."""
@@ -151,7 +155,19 @@ def knn_sort_merge(
     if cuts is None:
         total = total_rows if total_rows is not None else both.count()
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        n_buckets = max(1, min(num_buckets or default_p, total // (4 * scan_width)))
+        # scale-adaptive bucket count (guide §2.2): the pandas kernel below
+        # materializes one whole bucket per task (the JVM window it replaced
+        # spilled), so bucket row count must stay bounded as total grows.
+        # The floor total // _BUCKET_ROWS_TARGET is 0 at gate/bench scales
+        # (total < target × shuffle partitions ⇒ identical bucketing to the
+        # pre-floor code) and only engages where default_p would have put
+        # millions of rows into one pandas frame. Any bucket count yields
+        # the same result while interior buckets hold ≥ scan_width rows
+        # (the ghost contract above); 2M-row buckets satisfy that hugely.
+        floor = total // _BUCKET_ROWS_TARGET
+        n_buckets = max(
+            1, min(num_buckets or max(default_p, floor), total // (4 * scan_width))
+        )
         if n_buckets > 1:
             cuts = both.stat.approxQuantile(
                 "_cell", [i / n_buckets for i in range(1, n_buckets)], 1.0 / (10 * n_buckets)
@@ -194,6 +210,16 @@ def knn_sort_merge(
         )
         rows = rows.unionByName(lo_ghosts).unionByName(hi_ghosts)
     rows = rows.drop("_rn", "_n")
+    # NULL _cell rows (NaN coords → s2_cell NULL, the r5 fix) would make
+    # Arrow deliver the whole bucket's _cell batch as float64 — silently
+    # rounding every level-30 carrier in the bucket (the same corruption
+    # class fixed in functions/cells.py) and sorting NaN LAST where the
+    # JVM windows above sort NULLS FIRST. Coalesce NULL to int64 min: it
+    # sorts first (JVM null-ordering parity), is unreachable as a real
+    # carrier (level-30 ids have the trailing bit set, so every unsigned
+    # carrier is > int64 min), and _cell never appears in the output, so
+    # no restore is needed.
+    rows = rows.withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(-(1 << 63))))
 
     # curve-order neighborhood, one task per bucket (ghosts make each frame
     # identical to global curve order). r6 (guide §4.2): the former
@@ -209,7 +235,7 @@ def knn_sort_merge(
     # ghost/other query rows still occupy frame positions; the row itself
     # and other queries are dropped from candidates, matching the
     # collect_list's when(~_is_q) null-skip). Row-identical by construction;
-    # pinned by tests/test_knn_sort_merge.py parity tests + the q43 oracle.
+    # pinned by tests/test_knn.py parity tests + the q43 oracle.
     id_type = both.schema["_id"].dataType
     cand_schema = T.StructType(
         [
@@ -224,6 +250,12 @@ def knn_sort_merge(
     sw = int(scan_width)
 
     def _frames(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not np.issubdtype(pdf["_cell"].to_numpy().dtype, np.integer):
+            raise TypeError(
+                "sort-merge kNN kernel received a non-integer _cell batch "
+                f"({pdf['_cell'].dtype}); a null slipped past the coalesce "
+                "and the curve keys would be float64-rounded"
+            )
         pdf = pdf.sort_values(["_cell", "_is_q", "_id"])
         isq = pdf["_is_q"].to_numpy()
         ghost = pdf["_ghost"].to_numpy()

@@ -158,22 +158,53 @@ def test_sort_merge_stat_hints_skip_jobs_same_output(clustered):
     assert a == c
 
 
-def test_sort_merge_window_not_single_partition(clustered):
-    """The neighborhood window must run per-bucket — no global single-task
-    Exchange SinglePartition feeding a Window (the round-1 scale-killer)."""
+def test_sort_merge_kernel_not_single_partition(clustered):
+    """The neighborhood scan must run per-bucket — no global single-task
+    Exchange SinglePartition feeding it (the round-1 scale-killer). r6: the
+    neighborhood is a FlatMapGroupsInPandas kernel grouped by _bucket, so
+    the guard pins that node and its grouping exchange rather than the
+    removed rowsBetween window (the surviving top-k rank Window partitions
+    by query_id and would satisfy a bare 'Window' check vacuously)."""
     from cog3pio_spark.operators.knn import knn_sort_merge
 
     queries, points = clustered
     sm = knn_sort_merge(queries, points, k=5, scan_width=32, num_buckets=4)
     sm.collect()
     plan = sm._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan
-    # rowsBetween windows appear after hashpartitioning(_bucket...) exchanges
-    # only; a SinglePartition exchange would mean the global window is back
+    assert "FlatMapGroupsInPandas" in plan
+    # the kernel's grouping exchange must hash-partition by _bucket, and no
+    # SinglePartition exchange may sit near the kernel or any window
     for i, line in enumerate(plan.splitlines()):
         if "SinglePartition" in line:
             ctx = "\n".join(plan.splitlines()[max(0, i - 3): i + 3])
             assert "Window" not in ctx, f"single-partition window:\n{ctx}"
+            assert "FlatMapGroupsInPandas" not in ctx, (
+                f"single-partition kernel:\n{ctx}"
+            )
+
+
+def test_sort_merge_nan_coord_does_not_corrupt_bucket(spark, clustered):
+    """A NaN-coord point gets a NULL curve key (the r5 NaN-cells fix); one
+    such row would make Arrow deliver its whole bucket's _cell batch as
+    float64, silently rounding every level-30 carrier in the bucket (and
+    pandas sorts NaN last where the JVM sorts NULLS first). The sentinel
+    coalesce must keep valid queries' neighbors identical; the kernel's
+    integer-dtype guard fails loudly if the coalesce is ever bypassed."""
+    from cog3pio_spark.operators.knn import knn_sort_merge
+
+    queries, points = clustered
+    clean = knn_sort_merge(queries, points, k=5, scan_width=32, num_buckets=4)
+    a = {(r["query_id"], r["rank"], r["point_id"]) for r in clean.collect()}
+    noisy_points = points.unionByName(
+        spark.createDataFrame(
+            [(99999, float("nan"), float("nan"))], ["point_id", "lat", "lng"]
+        )
+    )
+    noisy = knn_sort_merge(
+        queries, noisy_points, k=5, scan_width=32, num_buckets=4
+    )
+    b = {(r["query_id"], r["rank"], r["point_id"]) for r in noisy.collect()}
+    assert a == b
 
 
 def test_sparse_queries_fall_back(spark, clustered):

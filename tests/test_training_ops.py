@@ -200,6 +200,26 @@ def test_minhash_zipf_cluster_bounded(spark):
     assert len(z_pairs) == n_copies - 1
 
 
+def test_minhash_null_text_docs_emit_no_pairs(spark):
+    """fingerprint(NULL) is NULL; the pre-r6 star-pair inner join dropped
+    NULL keys, so NULL-text docs must never be reported as exact duplicates
+    of each other (the r6 Window.partitionBy rewrite would otherwise group
+    NULL fingerprints into one partition and emit jaccard_est=1.0 pairs)."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "some real text repeated across documents here"),
+            (4, "some real text repeated across documents here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5).collect()
+    ids_touched = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids_touched.isdisjoint({1, 2}), f"NULL-text docs paired: {pairs}"
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+
+
 def test_minhash_bucket_cap_flags_overflow(spark):
     """Distinct-signature hot buckets are capped and flagged, never unbounded."""
     rng = np.random.RandomState(11)
