@@ -2,8 +2,10 @@
 
 Polygons live in the same projected plane as the COG fixtures (origin near the
 reference's transform golden (499_980, 5_300_040) — src/io/geotiff.rs:396-399).
-A handful overlap tile extents, some are disjoint, some touch edges (PIP
-boundary cases). Schema:
+A handful overlap tile extents, some are disjoint. Vertices are continuous
+jittered draws, so exact polygon-edge/tile-point contact is measure-zero —
+PIP boundary behavior is pinned by dedicated unit tests, not by these
+fixtures (verified r5: no interior-edge points at either gate sf). Schema:
 
     polygon_id STRING,
     ring  ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,   -- closed, CCW, convex
@@ -46,8 +48,9 @@ def polygon_schema(with_holes: bool = False) -> T.StructType:
 def make_polygon_rows(n: int = 16, seed: int = 42) -> list[tuple]:
     """Deterministic convex polygons: regular k-gons jittered by seeded rng.
 
-    Centers sweep the fixture extent [480k, 620k] × [5.19M, 5.41M]; a few are
-    deliberately far away (disjoint cases).
+    Centers sweep a jittered grid over [470k, 630k] × [5.18M, 5.42M] (the
+    loop below is the source of truth); every 7th is deliberately far away
+    (disjoint cases).
     """
     rng = np.random.RandomState(seed)
     rows = []

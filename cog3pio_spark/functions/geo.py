@@ -38,25 +38,30 @@ def x_coords_expr(a, c, width) -> Column:
     reference golden (python/tests/test_io_geotiff.py:141-169).
     """
     # width=0 guard (r4 review): sequence(0, -1) infers step -1 and emits
-    # [0, -1] — two bogus coordinates instead of the documented empty axis
+    # [0, -1] — two bogus coordinates instead of the documented empty axis.
+    # NULL width must yield NULL, not a valid-looking empty axis (r6 review:
+    # a bare otherwise() swallowed NULL > 0's NULL into the empty branch) —
+    # both whens skip on NULL, so the expression falls through to NULL.
     return F.when(
         width.cast("int") > 0,
         F.transform(
             F.sequence(F.lit(0), width.cast("int") - 1),
             lambda i: c + a * (i.cast("double") + F.lit(0.5)),
         ),
-    ).otherwise(F.array().cast("array<double>"))
+    ).when(width.cast("int") <= 0, F.array().cast("array<double>"))
 
 
 def y_coords_expr(e, f, height) -> Column:
-    """Half-open pixel-center y-axis (descending when e<0)."""
+    """Half-open pixel-center y-axis (descending when e<0).
+
+    NULL height yields NULL, not an empty axis (see x_coords_expr)."""
     return F.when(
         height.cast("int") > 0,
         F.transform(
             F.sequence(F.lit(0), height.cast("int") - 1),
             lambda i: f + e * (i.cast("double") + F.lit(0.5)),
         ),
-    ).otherwise(F.array().cast("array<double>"))
+    ).when(height.cast("int") <= 0, F.array().cast("array<double>"))
 
 
 def world_to_lat(y_m) -> Column:

@@ -40,6 +40,16 @@ def curate(
     never a full-row window (r5 review: the window shape shuffled + sorted
     every surviving text row; the aggregate ships ≤1 candidate per key per
     map task — ids are unique, so min_by is deterministic)."""
+    # r6 review: withColumns would silently REPLACE caller columns named
+    # like the working columns (and a caller 'fp' would vanish from the
+    # output entirely) — refuse loudly instead of losing data
+    reserved = {"quality", "lang_pred", "n_tokens", "fp"}
+    clash = sorted(reserved & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"curate() computes working columns {sorted(reserved)}; the "
+            f"input already has {clash} — rename or drop them first"
+        )
     t = F.col(text_col)
     feat = docs.withColumns(
         {

@@ -14,6 +14,7 @@ produce the reference's unsupported-colortype error fixture
 
 from __future__ import annotations
 
+import os
 import struct
 import sys
 import zlib
@@ -231,10 +232,16 @@ def write_tiff(
         for s in sections:
             path.write(bytes(s["blob"]))
         return path
-    with open(path, "wb") as f:
+    # atomic publish (r6 review): fixture regeneration rewrites files that
+    # a concurrent session's executors may be mid-read — write the bytes to
+    # a per-process temp name and os.replace so readers only ever see a
+    # complete old or complete new file, never a truncated one
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(struct.pack("<2sHI", b"II", 42, sections[0]["ifd"]))
         for s in sections:
             f.write(bytes(s["blob"]))
+    os.replace(tmp, path)
     return path
 
 

@@ -217,6 +217,28 @@ def test_x_coords_zero_width(spark):
     assert out[3] == [11.0, 13.0, 15.0]
 
 
+def test_coords_null_dims_yield_null(spark):
+    """r6 review: NULL width/height fell into the otherwise(empty) branch,
+    turning a missing dimension into a valid-looking empty axis (zero rows
+    downstream instead of a NULL to surface). NULL in → NULL out."""
+    from pyspark.sql import functions as F
+
+    from cog3pio_spark.functions import geo as G
+
+    df = spark.createDataFrame([(None,), (2,)], "w int")
+    out = {
+        i: (r["xs"], r["ys"])
+        for i, r in enumerate(
+            df.select(
+                G.x_coords_expr(F.lit(2.0), F.lit(10.0), F.col("w")).alias("xs"),
+                G.y_coords_expr(F.lit(-2.0), F.lit(10.0), F.col("w")).alias("ys"),
+            ).collect()
+        )
+    }
+    assert out[0] == (None, None)
+    assert out[1] == ([11.0, 13.0], [9.0, 7.0])
+
+
 def test_cover_bbox_is_true_covering():
     """r5 fix: cover_bbox used to keep only cells whose CENTERS fall in the
     bbox, dropping boundary-overlapping cells — interior points near the

@@ -200,6 +200,22 @@ def test_minhash_zipf_cluster_bounded(spark):
     assert len(z_pairs) == n_copies - 1
 
 
+def test_curate_refuses_clobbering_caller_columns(spark):
+    """r6 review: curate()'s withColumns silently replaced caller columns
+    named like its working columns (and a caller 'fp' vanished from the
+    output). It must refuse loudly instead."""
+    import pytest as _pytest
+
+    from cog3pio_spark.plans.curation import curate
+
+    docs = spark.createDataFrame(
+        [(1, "some acceptable quality text here", 0.1)],
+        "doc_id long, text string, quality double",
+    )
+    with _pytest.raises(ValueError, match="quality"):
+        curate(docs)
+
+
 def test_minhash_null_text_docs_emit_no_pairs(spark):
     """fingerprint(NULL) is NULL; the pre-r6 star-pair inner join dropped
     NULL keys, so NULL-text docs must never be reported as exact duplicates
